@@ -1,0 +1,127 @@
+"""Demodulator and IIR tests (FM discriminator, AM envelope, de-emphasis)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpusdr.ops import cplx, demod, iir
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(3)
+
+
+def fm_modulate(audio, fs, deviation):
+    phase = 2 * np.pi * deviation * np.cumsum(audio) / fs
+    return np.exp(1j * phase).astype(np.complex64)
+
+
+class TestQuadFmDemod:
+    def test_recovers_instantaneous_frequency(self):
+        fs, deviation = 250e3, 75e3
+        t = np.arange(25000) / fs
+        audio = 0.5 * np.sin(2 * np.pi * 1000 * t).astype(np.float32)
+        iq = fm_modulate(audio, fs, deviation)
+        gain = fs / (2 * np.pi * deviation)
+        y = np.asarray(demod.quad_fm_demod_ext(cplx.from_numpy(iq), gain))
+        # y[n] ~ audio[n+1] (one-sample discriminator delay structure)
+        err = y[10:20000] - audio[11:20001]
+        assert np.abs(err).max() < 1e-2
+
+    def test_streaming_matches_whole(self, rng):
+        iq = (rng.standard_normal(4096) + 1j * rng.standard_normal(4096)).astype(
+            np.complex64
+        )
+        gain = 1.7
+        xp = cplx.from_numpy(iq)
+        s = demod.quad_fm_demod_init()
+        outs = []
+        for i in range(0, 4096, 512):
+            s, y = demod.quad_fm_demod_apply(s, xp[..., i : i + 512], gain)
+            outs.append(np.asarray(y))
+        split = np.concatenate(outs)
+        s0 = demod.quad_fm_demod_init()
+        _, whole = demod.quad_fm_demod_apply(s0, xp, gain)
+        np.testing.assert_allclose(split, np.asarray(whole), atol=1e-6)
+
+    def test_n_in_n_out_with_carry(self):
+        """Reference contract: N+1 available -> N outputs, 1 retained
+        (QuadFmDemod.cpp:81-107)."""
+        x = cplx.from_numpy(np.exp(1j * np.linspace(0, 3, 17)).astype(np.complex64))
+        s = demod.quad_fm_demod_init()
+        s2, y = demod.quad_fm_demod_apply(s, x, 1.0)
+        assert y.shape == (17,)
+        np.testing.assert_allclose(
+            cplx.to_numpy(s2), cplx.to_numpy(x)[-1:], atol=1e-7
+        )
+
+
+class TestAmAndElementwise:
+    def test_envelope(self, rng):
+        z = (rng.standard_normal(256) + 1j * rng.standard_normal(256)).astype(
+            np.complex64
+        )
+        y = np.asarray(demod.quad_am_demod(cplx.from_numpy(z)))
+        np.testing.assert_allclose(y, np.abs(z), atol=1e-5)
+
+    def test_add_const_to_vector_length(self, rng):
+        z = (rng.standard_normal(64) + 1j * rng.standard_normal(64)).astype(
+            np.complex64
+        )
+        c = -0.25
+        y = cplx.to_numpy(demod.add_const_to_vector_length(cplx.from_numpy(z), c))
+        np.testing.assert_allclose(np.abs(y), np.abs(np.abs(z) + c), atol=1e-5)
+        # Phase preserved (up to sign flips where magnitude went negative).
+        keep = np.abs(z) + c > 0
+        np.testing.assert_allclose(
+            np.angle(y[keep]), np.angle(z[keep]), atol=1e-5
+        )
+
+
+class TestDeemphasis:
+    def test_matches_scipy_lfilter(self, rng):
+        import scipy.signal as sps
+
+        fs, tau = 48000.0, 75e-6
+        a, b = iir.deemphasis_coeffs(tau, fs)
+        x = rng.standard_normal(8192).astype(np.float32)
+        s = iir.single_pole_init()
+        _, y = iir.single_pole_apply(s, jnp.asarray(x), a, b)
+        ref = sps.lfilter([b], [1.0, -a], x)
+        np.testing.assert_allclose(np.asarray(y), ref, atol=1e-4)
+
+    def test_streaming_invariance(self, rng):
+        a, b = 0.95, 0.05
+        x = rng.standard_normal(1024).astype(np.float32)
+        s = iir.single_pole_init()
+        outs = []
+        for i in range(0, 1024, 128):
+            s, y = iir.single_pole_apply(s, jnp.asarray(x[i : i + 128]), a, b)
+            outs.append(np.asarray(y))
+        split = np.concatenate(outs)
+        _, whole = iir.single_pole_apply(iir.single_pole_init(), jnp.asarray(x), a, b)
+        np.testing.assert_allclose(split, np.asarray(whole), atol=1e-5)
+
+    def test_3db_point(self):
+        """De-emphasis -3 dB at 1/(2 pi tau)."""
+        fs, tau = 480000.0, 75e-6
+        a, b = iir.deemphasis_coeffs(tau, fs)
+        f3 = 1 / (2 * np.pi * tau)
+        w, h = np.abs(
+            np.array(
+                [
+                    (
+                        f,
+                        abs(
+                            b
+                            / (1 - a * np.exp(-2j * np.pi * f / fs))
+                        ),
+                    )
+                    for f in [10.0, f3]
+                ]
+            )
+        ).T
+        ratio = h[1] / h[0]
+        assert abs(ratio - 1 / np.sqrt(2)) < 0.05

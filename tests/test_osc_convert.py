@@ -1,0 +1,91 @@
+"""Oscillator + format-conversion tests.
+
+Mirrors tests/CosineSourceTests.cpp (GPU cosine vs CPU cos loop, max error
+1e-4 — CosineSourceTests.cpp:49-55) and extends it with the drift/continuity
+properties the uint32 NCO design guarantees.
+"""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from tpusdr.ops import convert, cplx, osc
+
+
+class TestNco:
+    def test_cosine_matches_numpy(self):
+        # CosineSourceTests tolerance: 1e-4 over one cycle.
+        fs, f, n = 48000.0, 1000.0, 4800
+        inc = osc.freq_to_inc_u32(f, fs)
+        ph = osc.init_phase(0.0)
+        y = np.asarray(osc.cosine_block(ph, inc, n))
+        t = np.arange(n) / fs
+        np.testing.assert_allclose(y, np.cos(2 * np.pi * f * t), atol=1e-4)
+
+    def test_complex_cosine(self):
+        fs, f, n = 1e6, 12345.0, 10000
+        inc = osc.freq_to_inc_u32(f, fs)
+        y = cplx.to_numpy(osc.complex_cosine_block(osc.init_phase(), inc, n))
+        t = np.arange(n) / fs
+        ref = np.exp(2j * np.pi * f * t)
+        np.testing.assert_allclose(y, ref, atol=2e-4)
+        assert y.dtype == np.complex64
+
+    def test_negative_frequency(self):
+        fs, f, n = 1e6, -250e3, 1000
+        inc = osc.freq_to_inc_u32(f, fs)
+        y = cplx.to_numpy(osc.complex_cosine_block(osc.init_phase(), inc, n))
+        t = np.arange(n) / fs
+        np.testing.assert_allclose(y, np.exp(2j * np.pi * f * t), atol=2e-4)
+
+    def test_block_continuity(self):
+        """Chopping the stream into blocks must not change samples
+        (the CosineSource mPhi carry, CosineSource.cpp:72-84, minus drift)."""
+        fs, f = 2.4e6, 97.3e3
+        inc = osc.freq_to_inc_u32(f, fs)
+        ph = osc.init_phase(0.0)
+        chunks = []
+        for n in (1000, 37, 4096, 123):
+            chunks.append(np.asarray(osc.cosine_block(ph, inc, n)))
+            ph = osc.advance_phase(ph, inc, n)
+        split = np.concatenate(chunks)
+        whole = np.asarray(osc.cosine_block(osc.init_phase(0.0), inc, len(split)))
+        np.testing.assert_array_equal(split, whole)
+
+    def test_no_drift_over_long_stream(self):
+        """After 10^8 samples of block stepping, phase is still exact."""
+        fs, f = 20e6, 1.234567e6
+        inc = osc.freq_to_inc_u32(f, fs)
+        ph = osc.init_phase()
+        n_blocks, block = 1000, 100000
+        for _ in range(3):
+            ph = osc.advance_phase(ph, inc, block)
+        # Closed form: phase = (inc * total) mod 2^32
+        expected = np.uint32((int(inc) * (3 * block)) % (1 << 32))
+        assert np.uint32(ph) == expected
+        # And the 10^8-sample phase in one shot:
+        ph_big = osc.advance_phase(osc.init_phase(), inc, n_blocks * block)
+        assert np.uint32(ph_big) == np.uint32((int(inc) * n_blocks * block) % (1 << 32))
+
+
+class TestConvert:
+    def test_int8(self):
+        x = jnp.array([-128, -1, 0, 1, 127], dtype=jnp.int8)
+        y = np.asarray(convert.int8_to_float(x))
+        np.testing.assert_allclose(y, np.array([-1.0, -1 / 128, 0, 1 / 128, 127 / 128]))
+
+    def test_int8_iq_roundtrip_shape(self):
+        rng = np.random.default_rng(0)
+        x = rng.integers(-128, 128, size=2048, dtype=np.int8)
+        z = cplx.to_numpy(convert.int8_iq_to_complex(jnp.asarray(x)))
+        assert z.shape == (1024,)
+        np.testing.assert_allclose(z.real, x[0::2] / 128.0, atol=1e-7)
+        np.testing.assert_allclose(z.imag, x[1::2] / 128.0, atol=1e-7)
+
+    def test_float_int16_roundtrip(self):
+        x = jnp.array([-1.5, -1.0, -0.5, 0.0, 0.5, 1.0, 1.5], dtype=jnp.float32)
+        y = np.asarray(convert.float_to_int16(x))
+        assert y.dtype == np.int16
+        np.testing.assert_array_equal(
+            y, [-32767, -32767, -16384, 0, 16384, 32767, 32767]
+        )

@@ -1,0 +1,95 @@
+"""The Block protocol: a pure streaming operator.
+
+This is the TPU-native answer to the reference's 6-method Node protocol
+(/root/reference/include/gpusdrpipeline/filters/Filter.h:30-138:
+requestBuffer/commitBuffer/getOutputDataSize/readOutput/...).  The
+request/commit buffer negotiation exists because CUDA filters mutate shared
+device buffers; with pure functions and static shapes the whole contract
+reduces to:
+
+  * ``apply(state, *xs) -> (state', y)``  — one streaming step, jit-safe
+  * rational rate ratio ``(up, down)``     — out_len = in_len * up / down
+  * ``history``                            — input-rate lookback samples
+                                             (the FIR taps-1 retention of
+                                             Fir.cpp:274-308, lifted into an
+                                             explicit carry and reusable as a
+                                             shard-boundary halo)
+  * ``init_state(batch_shape)``            — the carry pytree
+
+Blocks are stateless Python objects holding static config plus tap arrays;
+all mutable stream state lives in the carry pytree, which makes
+checkpoint/resume and sharding trivial (SURVEY.md section 5).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+
+Pytree = Any
+
+
+class Block:
+    """Base streaming operator. Subclasses set rate/dtype attributes."""
+
+    #: number of stream inputs (0 for sources, 2 for Multiply, ...)
+    n_inputs: int = 1
+    #: rational rate ratio in lowest terms: out_len = in_len * up // down
+    up: int = 1
+    down: int = 1
+    #: input-rate samples of lookback required to continue a stream
+    history: int = 0
+    #: output adds a leading channel axis (polyphase channelizer)
+    adds_channel_axis: bool = False
+    num_channels: int = 1
+
+    in_dtype = jnp.complex64
+    out_dtype = jnp.complex64
+
+    def init_state(self, batch_shape: Sequence[int] = ()) -> Pytree:
+        return ()
+
+    def apply(self, state: Pytree, *xs: jnp.ndarray) -> tuple[Pytree, jnp.ndarray]:
+        raise NotImplementedError
+
+    # -- static rate arithmetic (replaces SteppingDriver's runtime
+    #    min(preferred, available) negotiation, SteppingDriver.cpp:279-287) --
+
+    def out_len(self, in_len: int) -> int:
+        if (in_len * self.up) % self.down != 0:
+            raise ValueError(
+                f"{self.__class__.__name__}: input length {in_len} is not "
+                f"compatible with rate {self.up}/{self.down}"
+            )
+        return in_len * self.up // self.down
+
+    @property
+    def granule(self) -> int:
+        """Smallest input length quantum this block accepts."""
+        return self.down // math.gcd(self.up, self.down)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return (
+            f"{self.__class__.__name__}(up={self.up}, down={self.down}, "
+            f"history={self.history})"
+        )
+
+
+class SourceBlock(Block):
+    """A stream source: produces ``n`` samples per step (n is static).
+
+    The analog of the reference's infinite sources
+    (CosineSource::getOutputDataSize returning SIZE_MAX,
+    CosineSource.cpp:56-60): the planner asks a source for exactly the
+    length its consumers need.
+    """
+
+    n_inputs = 0
+
+    def generate(self, state: Pytree, n: int) -> tuple[Pytree, jnp.ndarray]:
+        raise NotImplementedError
+
+    def apply(self, state, *xs):
+        raise TypeError("SourceBlock produces via generate(state, n)")

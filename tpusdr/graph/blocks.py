@@ -1,0 +1,437 @@
+"""Concrete Block library — the L3 "filters" of the framework.
+
+Name-for-name coverage of the reference's registered node types
+(/root/reference/src/filters/FilterFactories.cpp:132-150: AddConst,
+AddConstToVectorLength, Component, Cosine, File, Fir, HackRfSource,
+Int8ToFloat, Magnitude, Multiply, QuadDemod) plus TPU-build additions
+(FreqShift, Resampler, Channelizer, Deemphasis, IqToComplex).  Each class
+documents the reference filter it replaces.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from tpusdr.graph.block import Block, SourceBlock
+from tpusdr.graph.registry import register_block
+from tpusdr.ops import channelizer as chanops
+from tpusdr.ops import convert, demod, fir, iir, mix, osc
+from tpusdr.ops import resample as resops
+
+
+# ---------------------------------------------------------------------------
+# Sources
+# ---------------------------------------------------------------------------
+
+
+@register_block("Cosine")
+class CosineSource(SourceBlock):
+    """Oscillator source (CosineSource.cpp / ComplexCosineSource.cpp).
+
+    ``sample_type`` 'Float' gives cos(theta); 'FloatComplex' gives
+    exp(j*theta) — matching the reference's "Cosine" node with its
+    sampleType parameter (RfToPcmAudioFactory.cpp:218-227).
+    """
+
+    def __init__(
+        self,
+        sample_rate: float,
+        frequency: float,
+        sample_type: str = "FloatComplex",
+        amplitude: float = 1.0,
+        initial_phase: float = 0.0,
+    ):
+        self.sample_rate = float(sample_rate)
+        self.frequency = float(frequency)
+        self.inc = osc.freq_to_inc_u32(frequency, sample_rate)
+        self.amplitude = amplitude
+        self.initial_phase = initial_phase
+        self.complex = sample_type in ("FloatComplex", "ComplexFloat", "complex")
+        self.out_dtype = jnp.complex64 if self.complex else jnp.float32
+
+    def init_state(self, batch_shape=()):
+        return osc.init_phase(self.initial_phase)
+
+    def generate(self, state, n):
+        if self.complex:
+            y = osc.complex_cosine_block(state, self.inc, n, self.amplitude)
+        else:
+            y = osc.cosine_block(state, self.inc, n, self.amplitude)
+        return osc.advance_phase(state, self.inc, n), y
+
+
+# ---------------------------------------------------------------------------
+# Format conversion
+# ---------------------------------------------------------------------------
+
+
+@register_block("Int8ToFloat")
+class Int8ToFloat(Block):
+    """int8 -> normalized float (Int8ToFloat.cpp:89-94)."""
+
+    in_dtype = jnp.int8
+    out_dtype = jnp.float32
+
+    def __init__(self, scale: float = convert.INT8_SCALE):
+        self.scale = scale
+
+    def apply(self, state, x):
+        return state, convert.int8_to_float(x, self.scale)
+
+
+@register_block("Int16ToFloat")
+class Int16ToFloat(Block):
+    in_dtype = jnp.int16
+    out_dtype = jnp.float32
+
+    def __init__(self, scale: float = convert.INT16_SCALE):
+        self.scale = scale
+
+    def apply(self, state, x):
+        return state, convert.int16_to_float(x, self.scale)
+
+
+@register_block("IqToComplex")
+class IqToComplex(Block):
+    """Interleaved IQ (int8/int16/float) -> complex64; 2:1 sample ratio.
+
+    Fuses the reference's CudaMemcpy + Int8ToFloat front end
+    (nbfm_test.cpp:447-459) into one elementwise map.
+    """
+
+    up, down = 1, 2
+    out_dtype = jnp.complex64
+
+    def __init__(self, input_format: str = "int8"):
+        self.input_format = input_format
+        self.in_dtype = {
+            "int8": jnp.int8,
+            "int16": jnp.int16,
+            "float32": jnp.float32,
+        }[input_format]
+
+    def apply(self, state, x):
+        if self.input_format == "int8":
+            return state, convert.int8_iq_to_complex(x)
+        if self.input_format == "int16":
+            return state, convert.int16_iq_to_complex(x)
+        return state, convert.interleaved_to_complex(x)
+
+
+# ---------------------------------------------------------------------------
+# Filtering / mixing
+# ---------------------------------------------------------------------------
+
+
+@register_block("Fir")
+class Fir(Block):
+    """Decimating FIR (Fir.cpp + gsdrFirFF/FC/CC/CF).
+
+    ``signal_type``/``tap_type`` mirror the reference's four type combos.
+    """
+
+    def __init__(
+        self,
+        taps: Sequence[float] | np.ndarray,
+        decimation: int = 1,
+        signal_type: str = "FloatComplex",
+        mode: fir.FirMode = "auto",
+    ):
+        taps = np.asarray(taps)
+        self.taps = jnp.asarray(
+            taps.astype(np.complex64 if np.iscomplexobj(taps) else np.float32)
+        )
+        self.decimation = int(decimation)
+        self.mode = mode
+        self.down = self.decimation
+        self.history = fir.history_len(taps.shape[-1])
+        cplx = signal_type in ("FloatComplex", "ComplexFloat")
+        self.in_dtype = jnp.complex64 if cplx else jnp.float32
+        self.out_dtype = (
+            jnp.complex64 if (cplx or np.iscomplexobj(taps)) else jnp.float32
+        )
+
+    def init_state(self, batch_shape=()):
+        dt = "pair" if self.in_dtype == jnp.complex64 else self.in_dtype
+        return fir.fir_init_state(self.taps, dt, batch_shape)
+
+    def apply(self, state, x):
+        return fir.fir_apply(state, x, self.taps, self.decimation, self.mode)
+
+
+@register_block("Multiply")
+@register_block("MultiplyCCC")
+class Multiply(Block):
+    """Elementwise product of two streams (Multiply.cpp:131-158)."""
+
+    n_inputs = 2
+
+    def apply(self, state, a, b):
+        return state, mix.multiply(a, b)
+
+
+@register_block("FreqShift")
+class FreqShift(Block):
+    """Fused oscillator + multiply frequency translation.
+
+    Replaces the reference's Cosine -> Multiply pair
+    (RfToPcmAudioFactory.cpp:218-243) with a single NCO-phased elementwise
+    op; ``frequency`` is the shift applied to the spectrum (a component at
+    ``-frequency`` moves to DC when frequency = -f_offset).
+    """
+
+    def __init__(self, sample_rate: float, frequency: float, initial_phase: float = 0.0):
+        self.sample_rate = float(sample_rate)
+        self.frequency = float(frequency)
+        self.inc = osc.freq_to_inc_u32(frequency, sample_rate)
+        self.initial_phase = initial_phase
+
+    def init_state(self, batch_shape=()):
+        return mix.freq_shift_init(self.initial_phase)
+
+    def apply(self, state, x):
+        return mix.freq_shift_apply(state, x, self.inc)
+
+
+# ---------------------------------------------------------------------------
+# Demodulators & elementwise
+# ---------------------------------------------------------------------------
+
+
+@register_block("QuadFmDemod")
+class QuadFmDemod(Block):
+    """FM discriminator (QuadFmDemod.cpp:76-113). Carry: 1 complex sample."""
+
+    history = 1
+    out_dtype = jnp.float32
+
+    def __init__(self, gain: float | None = None, sample_rate: float | None = None,
+                 channel_width: float | None = None):
+        if gain is None:
+            if sample_rate is None or channel_width is None:
+                raise ValueError("need gain or (sample_rate, channel_width)")
+            gain = demod.quad_fm_demod_gain(sample_rate, channel_width)
+        self.gain = float(gain)
+
+    def init_state(self, batch_shape=()):
+        return demod.quad_fm_demod_init(batch_shape)
+
+    def apply(self, state, x):
+        return demod.quad_fm_demod_apply(state, x, self.gain)
+
+
+@register_block("QuadAmDemod")
+class QuadAmDemod(Block):
+    """AM envelope demod (QuadAmDemod.cpp:81-108). Stateless, 1:1."""
+
+    out_dtype = jnp.float32
+
+    def apply(self, state, x):
+        return state, demod.quad_am_demod(x)
+
+
+def make_quad_demod(modulation: str, **kw) -> Block:
+    """Reference "QuadDemod" node dispatching on modulation
+    (FilterFactories registry + Modulation.h:23-26)."""
+    m = modulation.lower()
+    if m in ("fm", "modulation_fm"):
+        return QuadFmDemod(**kw)
+    if m in ("am", "modulation_am"):
+        kw.pop("sample_rate", None)
+        kw.pop("channel_width", None)
+        return QuadAmDemod()
+    raise ValueError(f"unknown modulation {modulation!r}")
+
+
+register_block("QuadDemod")(make_quad_demod)
+
+
+@register_block("Magnitude")
+class Magnitude(Block):
+    """|z| (Magnitude.cpp:91-96)."""
+
+    out_dtype = jnp.float32
+
+    def apply(self, state, x):
+        return state, demod.magnitude(x)
+
+
+@register_block("AddConst")
+class AddConst(Block):
+    """Scalar add (AddConst.cpp:99)."""
+
+    in_dtype = jnp.float32
+    out_dtype = jnp.float32
+
+    def __init__(self, add_value: float = 0.0):
+        self.add_value = float(add_value)
+
+    def apply(self, state, x):
+        return state, demod.add_const(x, self.add_value)
+
+
+@register_block("AddConstToVectorLength")
+class AddConstToVectorLength(Block):
+    """Magnitude-bias of complex samples (AddConstToVectorLength.cpp:97-103)."""
+
+    def __init__(self, add_value_to_magnitude: float = 0.0):
+        self.add_value = float(add_value_to_magnitude)
+
+    def apply(self, state, x):
+        return state, demod.add_const_to_vector_length(x, self.add_value)
+
+
+@register_block("DcBlock")
+class DcBlock(Block):
+    """DC blocker: y[n] = x[n] - x[n-1] + a*y[n-1] (one zero at DC, pole at
+    a).  Used after AM envelope detection to strip the carrier level — the
+    role AddConstToVectorLength plays in am_test.cpp, without needing to
+    know the carrier amplitude."""
+
+    in_dtype = jnp.float32
+    out_dtype = jnp.float32
+    history = 1
+
+    def __init__(self, pole: float = 0.999):
+        self.pole = float(pole)
+
+    def init_state(self, batch_shape=()):
+        return {
+            "x1": jnp.zeros(tuple(batch_shape) + (1,), jnp.float32),
+            "y1": iir.single_pole_init(batch_shape),
+        }
+
+    def apply(self, state, x):
+        x_prev = jnp.concatenate([state["x1"], x[..., :-1]], axis=-1)
+        diff = x - x_prev
+        y1, y = iir.single_pole_apply(state["y1"], diff, self.pole, 1.0)
+        new_state = {"x1": x[..., -1:], "y1": y1}
+        return new_state, y
+
+
+@register_block("Deemphasis")
+class Deemphasis(Block):
+    """FM de-emphasis one-pole IIR (time constants from fm.h:20-21)."""
+
+    in_dtype = jnp.float32
+    out_dtype = jnp.float32
+    history = 1
+
+    def __init__(self, sample_rate: float, tau: float = 75e-6):
+        self.a, self.b = iir.deemphasis_coeffs(tau, sample_rate)
+        self.tau = tau
+        self.sample_rate = sample_rate
+
+    def init_state(self, batch_shape=()):
+        return iir.single_pole_init(batch_shape)
+
+    def apply(self, state, x):
+        return iir.single_pole_apply(state, x, self.a, self.b)
+
+
+# ---------------------------------------------------------------------------
+# Rate conversion
+# ---------------------------------------------------------------------------
+
+
+@register_block("Resampler")
+class Resampler(Block):
+    """Rational polyphase resampler (capability the reference lacks)."""
+
+    def __init__(
+        self,
+        up: int,
+        down: int,
+        taps: np.ndarray | None = None,
+        db_attenuation: float = -60.0,
+        signal_type: str = "Float",
+    ):
+        import math as _math
+
+        g = _math.gcd(int(up), int(down))
+        self.up, self.down = int(up) // g, int(down) // g
+        is_cplx = signal_type in ("FloatComplex", "ComplexFloat")
+        self.in_dtype = jnp.complex64 if is_cplx else jnp.float32
+        self.out_dtype = self.in_dtype
+        if taps is None:
+            taps = resops.design_resampler_taps(self.up, self.down, db_attenuation)
+        self.taps = np.asarray(taps, np.float32)
+        self._plans: dict[int, resops.ResamplerPlan] = {}
+        import tpusdr.utils.numerics as _num
+
+        self.history = _num.cdiv(len(self.taps), self.up) - 1
+
+    def _plan(self, n: int) -> resops.ResamplerPlan:
+        if n not in self._plans:
+            self._plans[n] = resops.make_plan(self.taps, self.up, self.down, n)
+        return self._plans[n]
+
+    def init_state(self, batch_shape=()):
+        from tpusdr.ops import cplx as _cplx
+
+        shape = tuple(batch_shape) + (self.history,)
+        if self.in_dtype == jnp.complex64:
+            return _cplx.zeros(shape)
+        return jnp.zeros(shape, dtype=self.in_dtype)
+
+    def apply(self, state, x):
+        plan = self._plan(x.shape[-1])
+        return resops.resample_apply(state, x, plan)
+
+
+@register_block("Channelizer")
+class Channelizer(Block):
+    """M-channel maximally-decimated PFB channelizer (ops/channelizer.py).
+
+    Output gains a leading channel axis: (..., N) -> (..., M, N//M); the
+    channel axis is the natural mesh-sharding axis (BASELINE.md config 4).
+    """
+
+    adds_channel_axis = True
+
+    def __init__(
+        self,
+        num_channels: int,
+        taps: np.ndarray | None = None,
+        taps_per_channel: int = 12,
+        db_attenuation: float = -60.0,
+    ):
+        self.num_channels = int(num_channels)
+        self.down = self.num_channels
+        if taps is None:
+            taps = chanops.design_prototype(
+                self.num_channels, taps_per_channel, db_attenuation
+            )
+        self.taps = np.asarray(taps, np.float32)
+        self._plans: dict[int, chanops.ChannelizerPlan] = {}
+        self.history = len(self.taps) - 1
+
+    def _plan(self, n: int) -> chanops.ChannelizerPlan:
+        if n not in self._plans:
+            self._plans[n] = chanops.make_plan(self.taps, self.num_channels, n)
+        return self._plans[n]
+
+    def init_state(self, batch_shape=()):
+        plan_hist = (
+            (len(self.taps) + self.num_channels - 1) // self.num_channels
+        ) * self.num_channels - 1
+        from tpusdr.ops import cplx as _cplx
+
+        return _cplx.zeros(tuple(batch_shape) + (plan_hist,))
+
+    def apply(self, state, x):
+        plan = self._plan(x.shape[-1])
+        new_state, y = chanops.channelize_apply(state, x, plan)
+        # (..., F, M) -> (..., M, F): channel-major so downstream per-channel
+        # blocks see time on the last axis and channels as a batch axis.
+        from tpusdr.ops import cplx as _cplx
+
+        if _cplx.is_pair(y):
+            y = _cplx.Complex(jnp.moveaxis(y.re, -1, -2), jnp.moveaxis(y.im, -1, -2))
+        else:
+            y = jnp.moveaxis(y, -1, -2)
+        return new_state, y

@@ -1,0 +1,128 @@
+"""Polyphase filterbank channelizer (M channels, maximally decimated).
+
+The reference has no channelizer: multi-channel reception there is N
+independent single-channel graphs sharing one source
+(/root/reference/src/applications/sdrtest.cpp:331-364 — "embarrassing channel
+parallelism").  A PFB channelizer computes all M channels for roughly the
+cost of one FIR + one FFT, and its output channel axis is the natural mesh
+axis for TPU sharding (BASELINE.md config 4) — so this is both a capability
+and a performance win over the reference design.
+
+Math: with prototype lowpass h (length padded to P*M),
+
+    y_k[m] = sum_r e^{+j 2 pi k r / M} * v[m, r]
+    v[m,r] = sum_p h[p*M + r] * x[(m-p)*M - r]
+
+so channel k equals (downconvert by k*fs/M -> lowpass h -> decimate M).
+``v`` is a static gather + einsum; the DFT across branches is one ifft along
+the channel axis (length M — ideally a power of two for the TPU FFT).
+
+Streaming carry: the last P*M - 1 input samples.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from tpusdr.ops import cplx, design
+from tpusdr.ops import fft as mmfft
+from tpusdr.utils.numerics import cdiv
+
+
+def design_prototype(
+    num_channels: int,
+    taps_per_channel: int = 12,
+    db_attenuation: float = -60.0,
+    dtype=np.float32,
+) -> np.ndarray:
+    """Prototype lowpass for an M-channel PFB: cutoff at half the channel
+    spacing, length taps_per_channel * M."""
+    m = num_channels
+    num_taps = taps_per_channel * m
+    # Normalized rates: input fs = 1.0, channel width 1/M.
+    cutoff = 0.5 / m
+    transition = 0.8 * cutoff
+    h = design.kaiser_lowpass(
+        1.0, cutoff - transition / 2, transition, db_attenuation, num_taps=num_taps
+    )
+    return np.asarray(h, dtype)
+
+
+@dataclass(frozen=True)
+class ChannelizerPlan:
+    num_channels: int
+    taps_per_phase: int  # P
+    block_in: int
+    frames_out: int  # block_in / M
+    gather_idx: np.ndarray = field(repr=False)  # (F, P, M) into extended input
+    h_poly: np.ndarray = field(repr=False)  # (P, M): h[p*M + r]
+
+    @property
+    def history(self) -> int:
+        return self.taps_per_phase * self.num_channels - 1
+
+
+def make_plan(taps: np.ndarray, num_channels: int, block_in: int) -> ChannelizerPlan:
+    m = num_channels
+    t = len(taps)
+    p = cdiv(t, m)
+    if block_in % m != 0:
+        raise ValueError(f"block_in {block_in} not divisible by channels {m}")
+    f = block_in // m
+    h_pad = np.zeros(p * m, np.float32)
+    h_pad[:t] = np.asarray(taps, np.float32)
+    h_poly = h_pad.reshape(p, m)
+
+    hist = p * m - 1
+    mm = np.arange(f, dtype=np.int64)[:, None, None]
+    pp = np.arange(p, dtype=np.int64)[None, :, None]
+    rr = np.arange(m, dtype=np.int64)[None, None, :]
+    idx = hist + (mm - pp) * m - rr
+    assert idx.min() == 0 and idx.max() < hist + block_in
+    return ChannelizerPlan(
+        num_channels=m,
+        taps_per_phase=p,
+        block_in=block_in,
+        frames_out=f,
+        gather_idx=idx,
+        h_poly=h_poly,
+    )
+
+
+def channelize_init(plan: ChannelizerPlan, dtype="pair", batch_shape=()):
+    shape = tuple(batch_shape) + (plan.history,)
+    if dtype == "pair":
+        return cplx.zeros(shape)
+    return jnp.zeros(shape, dtype=dtype)
+
+
+def _branch_filter(ext_r: jnp.ndarray, plan: ChannelizerPlan) -> jnp.ndarray:
+    frames = jnp.take(ext_r, jnp.asarray(plan.gather_idx), axis=-1)  # (..., F, P, M)
+    h = jnp.asarray(plan.h_poly)
+    return jnp.einsum("...fpm,pm->...fm", frames, h)
+
+
+def channelize_apply(state, x, plan: ChannelizerPlan):
+    """One streaming step.
+
+    Input (..., block_in) Complex pair (or complex64 for CPU tests);
+    output (..., F, M) where out[..., f, k] is sample f of channel k
+    (channel k centered at +k*fs/M, interpreted mod M).  The cross-branch
+    DFT runs as an MXU matmul (ops/fft.py) — no FFT HLO.
+    """
+    if x.shape[-1] != plan.block_in:
+        raise ValueError(f"expected block of {plan.block_in}, got {x.shape[-1]}")
+    sp, xp = cplx.ensure_pair(state), cplx.ensure_pair(x)
+    ext = cplx.concat([sp, xp], axis=-1)
+    v = cplx.Complex(_branch_filter(ext.re, plan), _branch_filter(ext.im, plan))
+    y = mmfft.idft_unscaled(v)  # ifft * M: the M cancels the 1/M scale
+    hist = plan.history
+    new_state = ext[..., ext.shape[-1] - hist :]
+    if not cplx.is_pair(x):
+        y = cplx.maybe_native(y, x)
+        new_state = cplx.maybe_native(new_state, x)
+    return new_state, y

@@ -1,0 +1,155 @@
+"""Sharding tests on a virtual 8-device CPU mesh.
+
+The BASELINE.md stability bar: demodulated output stable across shardings
+(sharded == unsharded).  The windows, NCO phases, and reduction *math* are
+identical by construction; XLA's shape-dependent fusion reassociates float32
+reductions at the last bit, so "stable" is asserted as error power below
+-100 dB (vs the -60 dB design bound).  Strategy per SURVEY.md section 4:
+multi-host logic verified on a virtual CPU mesh, no pod required.
+"""
+
+import numpy as np
+import pytest
+import scipy.signal as sps
+
+import jax
+import jax.numpy as jnp
+
+from tpusdr.graph import blocks as B
+from tpusdr.graph.chain import Chain
+from tpusdr.models import multichannel, receiver
+from tpusdr.ops import cplx
+from tpusdr.parallel.halo import TimeShardedStream
+from tpusdr.parallel.mesh import make_mesh
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(21)
+
+
+def lp(n=33):
+    return sps.firwin(n, 0.3).astype(np.float32)
+
+
+def run_unsharded(chain, x_pair, ticks):
+    s = chain.init_state()
+    outs = []
+    n = x_pair.shape[-1] // ticks
+    for i in range(ticks):
+        s, y = chain.apply(s, x_pair[..., i * n : (i + 1) * n])
+        outs.append(np.asarray(y) if not cplx.is_pair(y) else cplx.to_numpy(y))
+    return np.concatenate(outs, axis=-1)
+
+
+def assert_shard_stable(shd, ref, snr_db=-100.0):
+    """Sharded vs unsharded: identical math up to float32 reassociation.
+
+    XLA fuses/vectorizes differently for different shard shapes, so the
+    last bit can differ; we require the resulting error power to sit below
+    ``snr_db`` (default -100 dB — 40 dB beyond the -60 dB design bound).
+    """
+    shd = np.asarray(shd)
+    ref = np.asarray(ref)
+    assert shd.shape == ref.shape
+    err = np.mean(np.abs(shd - ref) ** 2)
+    sig = np.mean(np.abs(ref) ** 2)
+    if err == 0:
+        return
+    snr = 10 * np.log10(err / max(sig, 1e-30))
+    assert snr < snr_db, f"sharding error at {snr:.1f} dB (limit {snr_db})"
+
+
+def run_sharded(chain, x_pair, ticks, mesh):
+    tss = TimeShardedStream(chain, mesh)
+    carry = tss.init_carry()
+    outs = []
+    n = x_pair.shape[-1] // ticks
+    for i in range(ticks):
+        carry, y = tss.step(carry, x_pair[..., i * n : (i + 1) * n])
+        outs.append(np.asarray(y) if not cplx.is_pair(y) else cplx.to_numpy(y))
+    return np.concatenate(outs, axis=-1)
+
+
+class TestTimeSharding:
+    def test_fir_chain_bit_stable(self, rng):
+        mesh = make_mesh(8)
+        chain = Chain(
+            [
+                ("shift", B.FreqShift(1e6, -123e3)),
+                ("fir", B.Fir(lp(33), 4)),
+                ("demod", B.QuadFmDemod(gain=1.3)),
+            ]
+        )
+        total = 8 * 1024 * 2
+        z = (rng.standard_normal(total) + 1j * rng.standard_normal(total)).astype(
+            np.complex64
+        )
+        zp = cplx.from_numpy(z)
+        ref = run_unsharded(chain, zp, ticks=2)
+        shd = run_sharded(chain, zp, ticks=2, mesh=mesh)
+        assert_shard_stable(shd, ref)
+
+    def test_two_and_four_shards_agree(self, rng):
+        chain = Chain([("fir", B.Fir(lp(17), 2)), ("demod", B.QuadFmDemod(gain=1.0))])
+        total = 4096
+        z = (rng.standard_normal(total) + 1j * rng.standard_normal(total)).astype(
+            np.complex64
+        )
+        zp = cplx.from_numpy(z)
+        ref = run_unsharded(chain, zp, 1)
+        for s in (2, 4, 8):
+            mesh = make_mesh(s)
+            shd = run_sharded(chain, zp, 1, mesh)
+            assert_shard_stable(shd, ref)
+
+    def test_wbfm_receiver_sharded(self, rng):
+        """Full WBFM chain (with IIR de-emphasis split to the sequential
+        tail) sharded across 8 devices == unsharded."""
+        mesh = make_mesh(8)
+        chain, spec = receiver.fm_receiver(2e6, freq_offset=200e3)
+        tick = chain.granule * max(1, (1 << 16) // chain.granule)
+        # make tick divisible by shards * granule
+        tick = 8 * chain.granule * max(1, tick // (8 * chain.granule))
+        total = 2 * tick
+        t = np.arange(total) / 2e6
+        audio = np.sin(2 * np.pi * 1000 * t)
+        ph = 2 * np.pi * 200e3 * t + 2 * np.pi * 75e3 * np.cumsum(audio) / 2e6
+        z = np.exp(1j * ph).astype(np.complex64)
+        zp = cplx.from_numpy(z)
+        ref = run_unsharded(chain, zp, 2)
+        shd = run_sharded(chain, zp, 2, mesh)
+        assert_shard_stable(shd, ref, snr_db=-80.0)
+
+    def test_channelizer_sharded(self, rng):
+        mesh = make_mesh(4)
+        chain = Chain([("chan", B.Channelizer(8, taps_per_channel=6))])
+        total = 8 * 128 * 4
+        z = (rng.standard_normal(total) + 1j * rng.standard_normal(total)).astype(
+            np.complex64
+        )
+        zp = cplx.from_numpy(z)
+        ref = run_unsharded(chain, zp, 2)
+        shd = run_sharded(chain, zp, 2, mesh)
+        assert_shard_stable(shd, ref)
+
+    def test_streaming_across_ticks(self, rng):
+        """Halo carry across tick boundaries: many small sharded ticks ==
+        one unsharded pass."""
+        mesh = make_mesh(8)
+        chain = Chain([("fir", B.Fir(lp(33), 2))])
+        total = 8192 * 2
+        z = (rng.standard_normal(total) + 1j * rng.standard_normal(total)).astype(
+            np.complex64
+        )
+        zp = cplx.from_numpy(z)
+        ref = run_unsharded(chain, zp, 1)
+        shd = run_sharded(chain, zp, 4, mesh)
+        assert_shard_stable(shd, ref)
+
+    def test_rejects_bad_tick(self, rng):
+        mesh = make_mesh(8)
+        chain = Chain([("fir", B.Fir(lp(9), 2))])
+        tss = TimeShardedStream(chain, mesh)
+        with pytest.raises(ValueError, match="divisible"):
+            tss.step(tss.init_carry(), cplx.zeros((1000,)))

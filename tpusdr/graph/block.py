@@ -48,11 +48,32 @@ class Block:
     in_dtype = jnp.complex64
     out_dtype = jnp.complex64
 
+    #: False for blocks with unbounded memory (IIR) that a finite halo
+    #: cannot re-create — they must run on the unsharded tail of a chain
+    time_shardable: bool = True
+
     def init_state(self, batch_shape: Sequence[int] = ()) -> Pytree:
         return ()
 
     def apply(self, state: Pytree, *xs: jnp.ndarray) -> tuple[Pytree, jnp.ndarray]:
         raise NotImplementedError
+
+    # -- time-sharding hooks (parallel/halo.py) -----------------------------
+    #
+    # Most carries are "the last L input samples" and are re-created by the
+    # overlap-save halo warmup, so shifting is a no-op.  Closed-form state
+    # (NCO phase) overrides these with exact modular arithmetic.
+
+    def shift_state(self, state: Pytree, offset_samples) -> Pytree:
+        """State as it would be ``offset_samples`` (traced int32, may be
+        negative) later in the stream, for states with closed-form time
+        dependence. Default: unchanged (halo warmup re-creates it)."""
+        return state
+
+    def advance_state(self, state: Pytree, num_samples: int) -> Pytree:
+        """Host-side exact advance of closed-form state by a static sample
+        count (used for the cross-tick carry under sharding)."""
+        return state
 
     # -- static rate arithmetic (replaces SteppingDriver's runtime
     #    min(preferred, available) negotiation, SteppingDriver.cpp:279-287) --

@@ -63,6 +63,15 @@ class CosineSource(SourceBlock):
             y = osc.cosine_block(state, self.inc, n, self.amplitude)
         return osc.advance_phase(state, self.inc, n), y
 
+    def shift_state(self, state, offset_samples):
+        # Exact modular phase arithmetic: int32 offsets wrap correctly as
+        # two's-complement uint32.
+        off = jnp.asarray(offset_samples).astype(jnp.uint32)
+        return state + jnp.uint32(self.inc) * off
+
+    def advance_state(self, state, num_samples: int):
+        return osc.advance_phase(state, self.inc, num_samples)
+
 
 # ---------------------------------------------------------------------------
 # Format conversion
@@ -196,6 +205,13 @@ class FreqShift(Block):
     def apply(self, state, x):
         return mix.freq_shift_apply(state, x, self.inc)
 
+    def shift_state(self, state, offset_samples):
+        off = jnp.asarray(offset_samples).astype(jnp.uint32)
+        return state + jnp.uint32(self.inc) * off
+
+    def advance_state(self, state, num_samples: int):
+        return osc.advance_phase(state, self.inc, num_samples)
+
 
 # ---------------------------------------------------------------------------
 # Demodulators & elementwise
@@ -295,6 +311,7 @@ class DcBlock(Block):
     in_dtype = jnp.float32
     out_dtype = jnp.float32
     history = 1
+    time_shardable = False  # IIR: unbounded memory, runs post-gather
 
     def __init__(self, pole: float = 0.999):
         self.pole = float(pole)
@@ -320,6 +337,7 @@ class Deemphasis(Block):
     in_dtype = jnp.float32
     out_dtype = jnp.float32
     history = 1
+    time_shardable = False  # IIR: unbounded memory, runs post-gather
 
     def __init__(self, sample_rate: float, tau: float = 75e-6):
         self.a, self.b = iir.deemphasis_coeffs(tau, sample_rate)

@@ -103,6 +103,41 @@ class Chain(Block):
             n = b.out_len(n)
         return n
 
+    def shift_state(self, state: dict, offset_samples) -> dict:
+        """Per-block closed-form state shift (time-sharding hook); the
+        traced input-sample offset is rescaled through each stage's rate
+        ratio (exact: offsets are granule multiples)."""
+        import jax.numpy as _jnp
+
+        o = _jnp.asarray(offset_samples, _jnp.int32)
+        new = {}
+        for name, b in self.blocks:
+            new[name] = b.shift_state(state[name], o)
+            if b.up != 1 or b.down != 1:
+                o = (o * b.up) // b.down
+        return new
+
+    def advance_state(self, state: dict, num_samples: int) -> dict:
+        n = num_samples
+        new = {}
+        for name, b in self.blocks:
+            new[name] = b.advance_state(state[name], n)
+            n = n * b.up // b.down
+        return new
+
+    def split_shardable(self) -> tuple["Chain", "Chain | None"]:
+        """Split into (time-shardable prefix, sequential tail).  IIR blocks
+        (unbounded memory) land in the tail, which runs post-gather on the
+        decimated stream where it is cheap."""
+        k = len(self.blocks)
+        for i, (_, b) in enumerate(self.blocks):
+            if not b.time_shardable:
+                k = i
+                break
+        head = Chain(self.blocks[:k])
+        tail = Chain(self.blocks[k:]) if k < len(self.blocks) else None
+        return head, tail
+
     def plan(self, in_len: int) -> list[tuple[str, int, int]]:
         """(name, in_len, out_len) per stage — the static analog of the
         SteppingDriver's per-pass size negotiation, for introspection."""

@@ -106,7 +106,13 @@ def fir_extended(
     x_ext = x_ext[..., :usable]
 
     if mode == "auto":
-        mode = "fft" if T >= _FFT_THRESHOLD else ("poly" if D > 1 else "conv")
+        # Cost per *input* sample: direct/poly ~ T/D MACs; FFT ~ O(log)
+        # regardless of D.  Decimating filters therefore stay on the
+        # polyphase path unless the per-input work is genuinely large.
+        if T >= _FFT_THRESHOLD and T // D >= 32:
+            mode = "fft"
+        else:
+            mode = "poly" if D > 1 else "conv"
 
     if mode == "fft":
         return _fir_fft_dispatch(x_ext, taps, D, M, pair_in)

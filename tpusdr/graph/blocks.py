@@ -169,7 +169,35 @@ class Fir(Block):
         return fir.fir_init_state(self.taps, dt, batch_shape)
 
     def apply(self, state, x):
+        if self.mode == "pallas":
+            return self._apply_pallas(state, x)
         return fir.fir_apply(state, x, self.taps, self.decimation, self.mode)
+
+    def _apply_pallas(self, state, x):
+        """VMEM-resident Pallas kernel path (kernels/fir_pallas.py).
+
+        Requires pair input, real taps, decimation >= 2, unbatched stream;
+        falls back to the XLA poly path otherwise."""
+        from tpusdr.ops import cplx as _cplx
+
+        usable = (
+            _cplx.is_pair(x)
+            and x.ndim == 1
+            and self.decimation >= 2
+            and not jnp.iscomplexobj(self.taps)
+        )
+        if not usable:
+            return fir.fir_apply(state, x, self.taps, self.decimation, "poly")
+        import jax as _jax
+
+        from tpusdr.kernels.fir_pallas import fir_decim_pallas
+
+        interp = _jax.default_backend() == "cpu"
+        ext = _cplx.concat([_cplx.ensure_pair(state), x], axis=-1)
+        y = fir_decim_pallas(ext, self.taps, self.decimation, interpret=interp)
+        t = self.taps.shape[-1]
+        new_state = ext[..., ext.shape[-1] - (t - 1) :]
+        return new_state, y
 
 
 @register_block("Multiply")
@@ -211,6 +239,89 @@ class FreqShift(Block):
 
     def advance_state(self, state, num_samples: int):
         return osc.advance_phase(state, self.inc, num_samples)
+
+
+@register_block("FusedFmDemod")
+class FusedFmDemod(Block):
+    """Fused NCO-mix -> decimating FIR -> FM discriminator (one Pallas
+    kernel, kernels/fm_pallas.py; gsdrFmDemod precedent).
+
+    Equivalent to FreqShift(frequency) -> Fir(taps, D) -> QuadFmDemod(gain)
+    but with one HBM pass.  Carry: last (T-1)+D input samples + NCO phase.
+    """
+
+    out_dtype = jnp.float32
+
+    def __init__(
+        self,
+        sample_rate: float,
+        frequency: float,
+        taps,
+        decimation: int,
+        gain: float,
+        block_b: int = 512,
+    ):
+        self.sample_rate = float(sample_rate)
+        self.frequency = float(frequency)
+        self.inc = osc.freq_to_inc_u32(frequency, sample_rate)
+        self.taps = np.asarray(taps, np.float32)
+        self.decimation = int(decimation)
+        self.down = self.decimation
+        self.gain = float(gain)
+        self.block_b = block_b
+        self.history = (len(self.taps) - 1) + self.decimation
+
+    def init_state(self, batch_shape=()):
+        from tpusdr.ops import cplx as _cplx
+
+        if batch_shape:
+            raise ValueError("FusedFmDemod is a single-stream block")
+        # phase of the first history sample: history samples precede the
+        # stream origin, so back the phase up by `history` increments.
+        back = np.uint32((-int(self.inc) * self.history) % (1 << 32))
+        return {
+            "tail": _cplx.zeros((self.history,)),
+            "phase": jnp.uint32(back),
+        }
+
+    def apply(self, state, x):
+        import jax as _jax
+
+        from tpusdr.kernels.fm_pallas import fused_fm_demod_pallas
+        from tpusdr.ops import cplx as _cplx
+
+        interp = _jax.default_backend() == "cpu"
+        ext = _cplx.concat([state["tail"], x], axis=-1)
+        y = fused_fm_demod_pallas(
+            ext,
+            self.taps,
+            self.decimation,
+            self.inc,
+            state["phase"],
+            self.gain,
+            self.block_b,
+            interpret=interp,
+        )
+        n = x.shape[-1]
+        new_state = {
+            "tail": ext[..., ext.shape[-1] - self.history :],
+            "phase": state["phase"] + jnp.uint32((int(self.inc) * n) % (1 << 32)),
+        }
+        return new_state, y
+
+    def shift_state(self, state, offset_samples):
+        off = jnp.asarray(offset_samples).astype(jnp.uint32)
+        return {
+            "tail": state["tail"],
+            "phase": state["phase"] + jnp.uint32(self.inc) * off,
+        }
+
+    def advance_state(self, state, num_samples: int):
+        return {
+            "tail": state["tail"],
+            "phase": state["phase"]
+            + jnp.uint32((int(self.inc) * num_samples) % (1 << 32)),
+        }
 
 
 # ---------------------------------------------------------------------------

@@ -90,12 +90,16 @@ def fm_receiver(
     input_format: str = "cf32",
     db_attenuation: float = -60.0,
     fir_mode: str = "auto",
+    use_fused: bool = False,
 ) -> tuple[Chain, ReceiverSpec]:
     """Build a WBFM/NBFM receiver chain.
 
     ``freq_offset`` is the channel center relative to the capture center
     (the reference's tunedFrequency - channelFrequency oscillator,
     RfToPcmAudioFactory.cpp:224-226, sign folded into the NCO).
+
+    ``use_fused=True`` replaces shift -> FIR -> demod with the single fused
+    Pallas kernel (graph/blocks.py FusedFmDemod).
     """
     if channel_width is None:
         channel_width = WBFM_CHANNEL_WIDTH if variant == WBFM else NBFM_CHANNEL_WIDTH
@@ -121,10 +125,22 @@ def fm_receiver(
     blocks: list[tuple[str, object]] = []
     if input_format != "cf32":
         blocks.append(("iq", IqToComplex(input_format)))
-    if freq_offset:
-        blocks.append(("shift", FreqShift(rf_sample_rate, -freq_offset)))
-    blocks.append(("rf_fir", Fir(rf_taps, d1, "FloatComplex", fir_mode)))
-    blocks.append(("demod", QuadFmDemod(gain=gain)))
+    if use_fused:
+        from tpusdr.graph.blocks import FusedFmDemod
+
+        blocks.append(
+            (
+                "frontend",
+                FusedFmDemod(
+                    rf_sample_rate, -freq_offset, rf_taps, d1, gain
+                ),
+            )
+        )
+    else:
+        if freq_offset:
+            blocks.append(("shift", FreqShift(rf_sample_rate, -freq_offset)))
+        blocks.append(("rf_fir", Fir(rf_taps, d1, "FloatComplex", fir_mode)))
+        blocks.append(("demod", QuadFmDemod(gain=gain)))
     if deemphasis_tau:
         blocks.append(("deemph", Deemphasis(quad_rate, deemphasis_tau)))
     if (up, down) != (1, 1):

@@ -27,6 +27,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from tpusdr.ops import design
@@ -126,11 +127,57 @@ def resample_init(plan: ResamplerPlan, dtype, batch_shape=()):
 
 
 def _resample_real(ext: jnp.ndarray, plan: ResamplerPlan) -> jnp.ndarray:
-    frames = jnp.take(ext, jnp.asarray(plan.gather_idx), axis=-1)  # (..., M, P)
-    rows = jnp.asarray(plan.tap_rows)
-    return jnp.einsum("...mp,mp->...m", frames.astype(jnp.float32), rows).astype(
-        jnp.float32
-    )
+    """Phase-class decomposition: outputs with m = c + U*t (class c) form a
+    regular decimating FIR over the input —
+
+        y[c + U*t] = sum_i h[p_c + i*U] * ext_local[n_c + t*D - i]
+
+    so the whole resampler is U parallel P-tap decimate-by-D FIRs plus an
+    interleave.  No gathers: TPU sees stacked slices + one small einsum,
+    instead of a (block_out, P) scattered jnp.take (which profiled 5x
+    slower on v5e)."""
+    U, D, P = plan.up, plan.down, plan.taps_per_phase
+    t_count = plan.block_out // U
+    h_classes = np.stack(
+        [plan.tap_rows[c] for c in range(U)]
+    )  # (U, P): taps for class c (rows repeat with period U)
+
+    lc = (P - 1) + t_count * D
+    starts = [(c * D) // U for c in range(U)]  # n_c
+    # Later classes' slices overrun the buffer by up to D-1 positions that
+    # only ever meet zero-padded taps; extend with zeros so shapes agree.
+    overrun = max(starts) + lc - ext.shape[-1]
+    if overrun > 0:
+        ext = jnp.pad(ext, [(0, 0)] * (ext.ndim - 1) + [(0, overrun)])
+    xs = jnp.stack(
+        [ext[..., s : s + lc] for s in starts], axis=-2
+    )  # (..., U, Lc)
+
+    # Polyphase frames over the class axis (same trick as fir._fir_poly,
+    # generalized to per-row taps).
+    from tpusdr.utils.numerics import cdiv as _cdiv
+
+    pp = _cdiv(P, D)
+    h_rev = h_classes[:, ::-1]  # (U, P) reversed
+    h_pad = np.zeros((U, pp * D), np.float32)
+    h_pad[:, :P] = h_rev
+    h_pad = h_pad.reshape(U, pp, D)
+
+    need = (t_count + pp - 1) * D
+    pad = need - lc
+    if pad > 0:
+        xs = jnp.pad(xs, [(0, 0)] * (xs.ndim - 1) + [(0, pad)])
+    elif pad < 0:
+        xs = xs[..., :need]
+    frames = xs.reshape(xs.shape[:-1] + (t_count + pp - 1, D)).astype(jnp.float32)
+    shifted = jnp.stack(
+        [jax.lax.slice_in_dim(frames, p, p + t_count, axis=-2) for p in range(pp)],
+        axis=0,
+    )  # (pp, ..., U, t, D)
+    v = jnp.einsum("p...utd,upd->...ut", shifted, jnp.asarray(h_pad))
+    # interleave classes: m = c + U*t  ->  (..., t, U) -> (..., t*U)
+    y = jnp.swapaxes(v, -1, -2).reshape(v.shape[:-2] + (plan.block_out,))
+    return y.astype(jnp.float32)
 
 
 def resample_apply(state, x, plan: ResamplerPlan):

@@ -75,6 +75,18 @@ class Block:
         count (used for the cross-tick carry under sharding)."""
         return state
 
+    def update_parameters(self, **params) -> None:
+        """Runtime parameter update (the reference's Node::updateParameters
+        JSON hook, Filter.h:36).  Sets matching attributes; the next apply()
+        traces with the new values (one re-jit per changed config — params
+        are compile-time constants on TPU by design)."""
+        for k, v in params.items():
+            if not hasattr(self, k):
+                raise AttributeError(
+                    f"{self.__class__.__name__} has no parameter {k!r}"
+                )
+            setattr(self, k, v)
+
     # -- static rate arithmetic (replaces SteppingDriver's runtime
     #    min(preferred, available) negotiation, SteppingDriver.cpp:279-287) --
 

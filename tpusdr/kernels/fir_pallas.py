@@ -65,13 +65,21 @@ def _fir_decim_call(xr, xi, taps, decimation, block_b, interpret):
     rows = m_pad + P - 1
     need = rows * D
 
+    # Mosaic DMA slices need the lane (minor) dim aligned to 128: pad the
+    # frame width from D to a 128 multiple (zero lanes meet zero taps).
+    Dp = round_up(D, 128)
+    h_poly = jnp.zeros((P, Dp), jnp.float32).at[:, :D].set(h_poly)
+
     def prep(x):
         pad = need - L
         if pad > 0:
             x = jnp.pad(x, (0, pad))
         else:
             x = x[:need]
-        return x.reshape(rows, D)
+        f = x.reshape(rows, D)
+        if Dp != D:
+            f = jnp.pad(f, ((0, 0), (0, Dp - D)))
+        return f
 
     fr, fi = prep(xr), prep(xi)
 
@@ -94,8 +102,8 @@ def _fir_decim_call(xr, xi, taps, decimation, block_b, interpret):
         ),
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((B + P - 1, D), jnp.float32),
-            pltpu.VMEM((B + P - 1, D), jnp.float32),
+            pltpu.VMEM((B + P - 1, Dp), jnp.float32),
+            pltpu.VMEM((B + P - 1, Dp), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],

@@ -40,12 +40,37 @@ _PI = np.float32(np.pi)
 _PI_2 = np.float32(np.pi / 2)
 
 
+_PI_4 = np.float32(np.pi / 4)
+_TAN_3PI_8 = np.float32(2.414213562373095)
+_TAN_PI_8 = np.float32(0.4142135623730951)
+
+
+def _atanf(x):
+    """Cephes-style float32 atan (Mosaic has no atan primitive): two-step
+    range reduction + odd minimax polynomial, ~1e-7 abs error."""
+    ax = jnp.abs(x)
+    big = ax > _TAN_3PI_8
+    mid = ax > _TAN_PI_8
+    x1 = jnp.where(
+        big,
+        jnp.float32(-1.0) / jnp.maximum(ax, 1e-30),
+        jnp.where(mid, (ax - 1.0) / (ax + 1.0), ax),
+    )
+    y0 = jnp.where(big, _PI_2, jnp.where(mid, _PI_4, jnp.float32(0.0)))
+    z = x1 * x1
+    p = (
+        (jnp.float32(8.05374449538e-2) * z - jnp.float32(1.38776856032e-1)) * z
+        + jnp.float32(1.99777106478e-1)
+    ) * z - jnp.float32(3.33329491539e-1)
+    r = y0 + p * z * x1 + x1
+    return jnp.where(x < 0, -r, r)
+
+
 def _atan2(y, x):
-    """Quadrant-corrected atan2 from atan (ops/xmath.py, inlined for
-    Mosaic)."""
+    """Quadrant-corrected atan2 from the polynomial atan."""
     x_zero = x == 0
     safe_x = jnp.where(x_zero, jnp.ones_like(x), x)
-    base = jnp.arctan(y / safe_x)
+    base = _atanf(y / safe_x)
     y_sign = jnp.where(y < 0, jnp.float32(-1.0), jnp.float32(1.0))
     corrected = jnp.where(x < 0, base + y_sign * _PI, base)
     on_axis = jnp.where(y == 0, jnp.zeros_like(y), y_sign * _PI_2)
@@ -66,6 +91,7 @@ def _kernel(
     B,
     P,
     D,
+    Dp,
     inc,
     gain,
 ):
@@ -77,13 +103,16 @@ def _kernel(
     cp_i.start()
 
     # NCO phases for this window: sample index = (k*B + row)*D + col.
-    row_iota = lax.broadcasted_iota(jnp.uint32, (rows, D), 0)
-    col_iota = lax.broadcasted_iota(jnp.uint32, (rows, D), 1)
+    # (cols >= D are lane padding over zeroed data; their phases are moot.)
+    row_iota = lax.broadcasted_iota(jnp.uint32, (rows, Dp), 0)
+    col_iota = lax.broadcasted_iota(jnp.uint32, (rows, Dp), 1)
     base = phase_ref[0] + jnp.uint32((inc * D) % (1 << 32)) * (
         k.astype(jnp.uint32) * jnp.uint32(B)
     )
     ph = base + row_iota * jnp.uint32((inc * D) % (1 << 32)) + col_iota * jnp.uint32(inc)
-    ang = ph.astype(jnp.float32) * _PHASE_SCALE
+    # Mosaic has no uint32->f32 cast; reinterpret as int32 (angle lands in
+    # [-pi, pi) instead of [0, 2*pi) — identical cos/sin).
+    ang = pltpu.bitcast(ph, jnp.int32).astype(jnp.float32) * _PHASE_SCALE
     c = jnp.cos(ang)
     s = jnp.sin(ang)
 
@@ -125,20 +154,27 @@ def _fused_call(xr, xi, taps, phase0, decimation, inc_u32, gain, block_b, interp
     rows = m_pad + P
     need = rows * D
 
+    # Lane-align the frame width for Mosaic DMA (see fir_pallas).
+    Dp = round_up(D, 128)
+    h_poly = jnp.zeros((P, Dp), jnp.float32).at[:, :D].set(h_poly)
+
     def prep(x):
         pad = need - L
         if pad > 0:
             x = jnp.pad(x, (0, pad))
         else:
             x = x[:need]
-        return x.reshape(rows, D)
+        f = x.reshape(rows, D)
+        if Dp != D:
+            f = jnp.pad(f, ((0, 0), (0, Dp - D)))
+        return f
 
     fr, fi = prep(xr), prep(xi)
     phase_arr = jnp.asarray([phase0], jnp.uint32) if np.ndim(phase0) == 0 else phase0
 
     y = pl.pallas_call(
         functools.partial(
-            _kernel, B=B, P=P, D=D, inc=int(inc_u32), gain=float(gain)
+            _kernel, B=B, P=P, D=D, Dp=Dp, inc=int(inc_u32), gain=float(gain)
         ),
         grid=(m_pad // B,),
         in_specs=[
@@ -150,8 +186,8 @@ def _fused_call(xr, xi, taps, phase0, decimation, inc_u32, gain, block_b, interp
         out_specs=pl.BlockSpec((B,), lambda k: (k,), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_pad,), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((B + P, D), jnp.float32),
-            pltpu.VMEM((B + P, D), jnp.float32),
+            pltpu.VMEM((B + P, Dp), jnp.float32),
+            pltpu.VMEM((B + P, Dp), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],

@@ -188,13 +188,16 @@ class Fir(Block):
         )
         if not usable:
             return fir.fir_apply(state, x, self.taps, self.decimation, "poly")
-        import jax as _jax
-
+        from tpusdr.kernels.dispatch import pallas_mode
         from tpusdr.kernels.fir_pallas import fir_decim_pallas
 
-        interp = _jax.default_backend() == "cpu"
+        mode = pallas_mode()
+        if mode == "xla":  # Mosaic unavailable on this backend
+            return fir.fir_apply(state, x, self.taps, self.decimation, "poly")
         ext = _cplx.concat([_cplx.ensure_pair(state), x], axis=-1)
-        y = fir_decim_pallas(ext, self.taps, self.decimation, interpret=interp)
+        y = fir_decim_pallas(
+            ext, self.taps, self.decimation, interpret=(mode == "interpret")
+        )
         t = self.taps.shape[-1]
         new_state = ext[..., ext.shape[-1] - (t - 1) :]
         return new_state, y
@@ -259,7 +262,7 @@ class FusedFmDemod(Block):
         taps,
         decimation: int,
         gain: float,
-        block_b: int = 512,
+        block_b: int = 1024,
     ):
         self.sample_rate = float(sample_rate)
         self.frequency = float(frequency)
@@ -285,29 +288,46 @@ class FusedFmDemod(Block):
         }
 
     def apply(self, state, x):
-        import jax as _jax
-
-        from tpusdr.kernels.fm_pallas import fused_fm_demod_pallas
+        from tpusdr.kernels.dispatch import pallas_mode
         from tpusdr.ops import cplx as _cplx
 
-        interp = _jax.default_backend() == "cpu"
+        mode = pallas_mode()
         ext = _cplx.concat([state["tail"], x], axis=-1)
-        y = fused_fm_demod_pallas(
-            ext,
-            self.taps,
-            self.decimation,
-            self.inc,
-            state["phase"],
-            self.gain,
-            self.block_b,
-            interpret=interp,
-        )
+        if mode == "xla":
+            y = self._apply_xla(state["phase"], ext)
+        else:
+            from tpusdr.kernels.fm_pallas import fused_fm_demod_pallas
+
+            y = fused_fm_demod_pallas(
+                ext,
+                self.taps,
+                self.decimation,
+                self.inc,
+                state["phase"],
+                self.gain,
+                self.block_b,
+                interpret=(mode == "interpret"),
+            )
         n = x.shape[-1]
         new_state = {
             "tail": ext[..., ext.shape[-1] - self.history :],
             "phase": state["phase"] + jnp.uint32((int(self.inc) * n) % (1 << 32)),
         }
         return new_state, y
+
+    def _apply_xla(self, phase0, ext):
+        """Same math via XLA ops (mix -> poly FIR -> discriminator); used
+        where compiled Mosaic is unavailable (kernels/dispatch.py)."""
+        from tpusdr.ops import cplx as _cplx
+        from tpusdr.ops import xmath
+
+        lo = osc.complex_cosine_block(phase0, self.inc, ext.shape[-1])
+        u = ext * lo
+        v = fir.fir_extended(u, jnp.asarray(self.taps), self.decimation, "poly")
+        prod = v[..., 1:] * v[..., :-1].conj()
+        return (jnp.float32(self.gain) * xmath.atan2(prod.im, prod.re)).astype(
+            jnp.float32
+        )
 
     def shift_state(self, state, offset_samples):
         off = jnp.asarray(offset_samples).astype(jnp.uint32)

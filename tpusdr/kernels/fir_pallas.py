@@ -116,7 +116,7 @@ def fir_decim_pallas(
     x_ext: cplx.Complex,
     taps,
     decimation: int,
-    block_b: int = 512,
+    block_b: int = 1024,
     interpret: bool = False,
 ) -> cplx.Complex:
     """Decimating FIR on an extended block (same contract as

@@ -106,7 +106,7 @@ def _kernel(
     # (cols >= D are lane padding over zeroed data; their phases are moot.)
     row_iota = lax.broadcasted_iota(jnp.uint32, (rows, Dp), 0)
     col_iota = lax.broadcasted_iota(jnp.uint32, (rows, Dp), 1)
-    base = phase_ref[0] + jnp.uint32((inc * D) % (1 << 32)) * (
+    base = phase_ref[0, 0] + jnp.uint32((inc * D) % (1 << 32)) * (
         k.astype(jnp.uint32) * jnp.uint32(B)
     )
     ph = base + row_iota * jnp.uint32((inc * D) % (1 << 32)) + col_iota * jnp.uint32(inc)
@@ -170,7 +170,8 @@ def _fused_call(xr, xi, taps, phase0, decimation, inc_u32, gain, block_b, interp
         return f
 
     fr, fi = prep(xr), prep(xi)
-    phase_arr = jnp.asarray([phase0], jnp.uint32) if np.ndim(phase0) == 0 else phase0
+    # SMEM scalars must be 2-D on TPU (pallas guide, pitfall 8)
+    phase_arr = jnp.reshape(jnp.asarray(phase0, jnp.uint32), (1, 1))
 
     y = pl.pallas_call(
         functools.partial(
@@ -203,7 +204,7 @@ def fused_fm_demod_pallas(
     inc_u32,
     phase0_u32,
     gain: float,
-    block_b: int = 512,
+    block_b: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused mix+filter+decimate+discriminate.
@@ -213,7 +214,7 @@ def fused_fm_demod_pallas(
     channel at +f_offset.
     """
     taps = jnp.asarray(taps, jnp.float32)
-    phase_arr = jnp.reshape(jnp.asarray(phase0_u32, jnp.uint32), (1,))
+    phase_arr = jnp.reshape(jnp.asarray(phase0_u32, jnp.uint32), (1, 1))
     return _fused_call(
         x_ext.re,
         x_ext.im,

@@ -59,7 +59,6 @@ class ChannelizerPlan:
     taps_per_phase: int  # P
     block_in: int
     frames_out: int  # block_in / M
-    gather_idx: np.ndarray = field(repr=False)  # (F, P, M) into extended input
     h_poly: np.ndarray = field(repr=False)  # (P, M): h[p*M + r]
 
     @property
@@ -77,19 +76,11 @@ def make_plan(taps: np.ndarray, num_channels: int, block_in: int) -> Channelizer
     h_pad = np.zeros(p * m, np.float32)
     h_pad[:t] = np.asarray(taps, np.float32)
     h_poly = h_pad.reshape(p, m)
-
-    hist = p * m - 1
-    mm = np.arange(f, dtype=np.int64)[:, None, None]
-    pp = np.arange(p, dtype=np.int64)[None, :, None]
-    rr = np.arange(m, dtype=np.int64)[None, None, :]
-    idx = hist + (mm - pp) * m - rr
-    assert idx.min() == 0 and idx.max() < hist + block_in
     return ChannelizerPlan(
         num_channels=m,
         taps_per_phase=p,
         block_in=block_in,
         frames_out=f,
-        gather_idx=idx,
         h_poly=h_poly,
     )
 

@@ -72,8 +72,6 @@ class ResamplerPlan:
     taps_per_phase: int  # Pmax = ceil(T / U)
     block_in: int
     block_out: int
-    # (block_out, Pmax) gather indices into the extended input block
-    gather_idx: np.ndarray = field(repr=False)
     # (block_out, Pmax) per-output tap rows (phase-selected, zero-padded)
     tap_rows: np.ndarray = field(repr=False)
 
@@ -96,9 +94,6 @@ def make_plan(taps: np.ndarray, up: int, down: int, block_in: int) -> ResamplerP
 
     m = np.arange(block_out, dtype=np.int64)
     p = (m * down) % up
-    n = (m * down) // up
-    i = np.arange(pmax, dtype=np.int64)
-    gather = (pmax - 1) + n[:, None] - i[None, :]  # into concat(history, x)
 
     h_pad = np.zeros(up * pmax, dtype=np.float32)
     h_pad[:T] = np.asarray(taps, np.float32)
@@ -112,7 +107,6 @@ def make_plan(taps: np.ndarray, up: int, down: int, block_in: int) -> ResamplerP
         taps_per_phase=pmax,
         block_in=block_in,
         block_out=block_out,
-        gather_idx=gather,
         tap_rows=rows,
     )
 

@@ -1,0 +1,90 @@
+"""Coverage: nested Components, update_parameters, profiling utils."""
+
+import numpy as np
+import pytest
+import scipy.signal as sps
+
+import jax.numpy as jnp
+
+from tpusdr.graph import blocks as B
+from tpusdr.graph.graph import build_graph
+from tpusdr.ops import cplx
+from tpusdr.utils import profiling
+
+
+def lp(n=9):
+    return [float(t) for t in sps.firwin(n, 0.4)]
+
+
+class TestNestedComponent:
+    def test_component_inside_component(self, ):
+        """Nested "Component" nodes (FilterDriverFactory recursion,
+        FilterDriverFactory.cpp:51 createNode recursing for Components)."""
+        inner = {
+            "nodes": {
+                "fir": {"type": "Fir", "taps": lp(), "decimation": 2},
+            },
+            "connections": [],
+            "inputPorts": [{"exposedPort": 0, "mapped": {"node": "fir", "port": 0}}],
+            "outputPort": "fir",
+        }
+        outer = {
+            "nodes": {
+                "front": {"type": "Component", **inner},
+                "demod": {"type": "QuadDemod", "modulation": "Am"},
+            },
+            "connections": [{"source": "front", "sink": "demod"}],
+            "inputPorts": [{"exposedPort": 0, "mapped": {"node": "front", "port": 0}}],
+            "outputPort": "demod",
+        }
+        g = build_graph(outer)
+        rng = np.random.default_rng(0)
+        z = (rng.standard_normal(256) + 1j * rng.standard_normal(256)).astype(
+            np.complex64
+        )
+        s = g.init_state()
+        s, y = g.apply(s, cplx.from_numpy(z))
+        assert np.asarray(y).shape == (128,)
+        assert (g.up, g.down) == (1, 2)
+
+
+class TestUpdateParameters:
+    def test_gain_update(self):
+        """Node::updateParameters parity (Filter.h:36)."""
+        b = B.QuadFmDemod(gain=1.0)
+        rng = np.random.default_rng(1)
+        z = cplx.from_numpy(
+            (rng.standard_normal(64) + 1j * rng.standard_normal(64)).astype(
+                np.complex64
+            )
+        )
+        _, y1 = b.apply(b.init_state(), z)
+        b.update_parameters(gain=2.0)
+        _, y2 = b.apply(b.init_state(), z)
+        np.testing.assert_allclose(np.asarray(y2), 2 * np.asarray(y1), atol=1e-5)
+
+    def test_unknown_parameter_rejected(self):
+        b = B.AddConst(1.0)
+        with pytest.raises(AttributeError):
+            b.update_parameters(nonsense=3)
+
+
+class TestProfiling:
+    def test_time_block_and_chain(self):
+        from tpusdr.graph.chain import Chain
+
+        chain = Chain(
+            [("fir", B.Fir(sps.firwin(9, 0.3).astype(np.float32), 2)),
+             ("demod", B.QuadFmDemod(gain=1.0))]
+        )
+        rng = np.random.default_rng(2)
+        z = cplx.from_numpy(
+            (rng.standard_normal(512) + 1j * rng.standard_normal(512)).astype(
+                np.complex64
+            )
+        )
+        rows = profiling.profile_chain(chain, z, iters=2)
+        assert rows[0]["stage"] == "<whole chain>"
+        assert {r["stage"] for r in rows} >= {"fir", "demod"}
+        table = profiling.format_profile(rows)
+        assert "Msps" in table and "fir" in table

@@ -52,6 +52,14 @@ def main(argv=None) -> int:
     ap.add_argument("--tick", type=int, default=1 << 20,
                     help="streaming block size target, samples (1 MiB parity)")
     ap.add_argument("--dot", default=None, help="write graph dot file")
+    ap.add_argument(
+        "--checkpoint", default=None,
+        help="save stream state here after the run (resume with --resume)",
+    )
+    ap.add_argument(
+        "--resume", default=None,
+        help="restore stream state from a checkpoint before the run",
+    )
     ap.add_argument("--no-deemphasis", action="store_true")
     ap.add_argument(
         "--platform",
@@ -119,7 +127,18 @@ def main(argv=None) -> int:
     sink = WavSink(args.audio, spec.audio_rate) if args.audio else NullSink()
 
     runner = StreamRunner(chain)
-    _, stats = runner.run(iter(src), sink, max_blocks=n_blocks)
+    state = None
+    if args.resume:
+        from tpusdr.graph.checkpoint import load_state
+
+        state = load_state(args.resume, chain.init_state())
+        log.info("resumed stream state from %s", args.resume)
+    state, stats = runner.run(iter(src), sink, state=state, max_blocks=n_blocks)
+    if args.checkpoint:
+        from tpusdr.graph.checkpoint import save_state
+
+        save_state(args.checkpoint, state)
+        log.info("stream state checkpointed to %s", args.checkpoint)
     sink.close()
 
     print(

@@ -53,12 +53,38 @@ def advance_phase(phase_u32: jnp.ndarray, inc_u32, num: int) -> jnp.ndarray:
 
 
 def cosine_block(phase_u32, inc_u32, num: int, amplitude: float = 1.0) -> jnp.ndarray:
-    """Real cosine block (gsdrCosineF analog, CosineSource.cpp:68-80)."""
-    ang = phase_angles(phase_u32, inc_u32, num)
-    out = jnp.cos(ang)
+    """Real cosine block (gsdrCosineF analog, CosineSource.cpp:68-80).
+
+    Large blocks use the same angle-addition factorization as
+    complex_cosine_block (cos(a+b) = cos a cos b - sin a sin b).
+    """
+    if num >= _FACTORED_THRESHOLD:
+        c = _FACTOR_C
+        q = -(-num // c)
+        rows = phase_u32 + jnp.arange(q, dtype=jnp.uint32) * jnp.uint32(
+            (int(inc_u32) * c) % (1 << 32)
+        )
+        cols = jnp.arange(c, dtype=jnp.uint32) * jnp.uint32(inc_u32)
+        ra = rows.astype(jnp.float32) * _PHASE_SCALE
+        ca = cols.astype(jnp.float32) * _PHASE_SCALE
+        qr, qi = jnp.cos(ra), jnp.sin(ra)
+        cr, ci = jnp.cos(ca), jnp.sin(ca)
+        out = (qr[:, None] * cr[None, :] - qi[:, None] * ci[None, :]).reshape(-1)[
+            :num
+        ]
+    else:
+        ang = phase_angles(phase_u32, inc_u32, num)
+        out = jnp.cos(ang)
     if amplitude != 1.0:
         out = out * jnp.float32(amplitude)
     return out
+
+
+#: above this block size, build the exponential from an outer product of
+#: two ~sqrt(N) tables: 2(N/C + C) transcendentals instead of 2N.  The
+#: VPU's cos/sin are the WBFM chain's dominant compute at 20 Msps.
+_FACTORED_THRESHOLD = 8192
+_FACTOR_C = 2048
 
 
 def complex_cosine_block(
@@ -69,9 +95,30 @@ def complex_cosine_block(
 
     A *negative* frequency (inc computed from -f) yields exp(-j*2*pi*f*t),
     the canonical down-conversion oscillator.
+
+    Large blocks use the angle-addition factorization
+    exp(j*(phase + (qC+r)*inc)) = exp(j*(phase + qC*inc)) * exp(j*r*inc):
+    both factors' angles come from the exact uint32 accumulator, so the
+    only extra error is one complex multiply (~1 ulp).
     """
-    ang = phase_angles(phase_u32, inc_u32, num)
-    out = Complex(jnp.cos(ang), jnp.sin(ang))
+    if num >= _FACTORED_THRESHOLD:
+        c = _FACTOR_C
+        q = -(-num // c)  # ceil
+        # row angles: phase + q*C*inc; col angles: r*inc  (uint32-exact)
+        rows = phase_u32 + jnp.arange(q, dtype=jnp.uint32) * jnp.uint32(
+            (int(inc_u32) * c) % (1 << 32)
+        )
+        cols = jnp.arange(c, dtype=jnp.uint32) * jnp.uint32(inc_u32)
+        ra = rows.astype(jnp.float32) * _PHASE_SCALE
+        ca = cols.astype(jnp.float32) * _PHASE_SCALE
+        qr, qi = jnp.cos(ra), jnp.sin(ra)
+        cr, ci = jnp.cos(ca), jnp.sin(ca)
+        re = (qr[:, None] * cr[None, :] - qi[:, None] * ci[None, :]).reshape(-1)
+        im = (qr[:, None] * ci[None, :] + qi[:, None] * cr[None, :]).reshape(-1)
+        out = Complex(re[:num], im[:num])
+    else:
+        ang = phase_angles(phase_u32, inc_u32, num)
+        out = Complex(jnp.cos(ang), jnp.sin(ang))
     if amplitude != 1.0:
         out = out * jnp.float32(amplitude)
     return out

@@ -461,19 +461,51 @@ class DcBlock(Block):
         return new_state, y
 
 
+@register_block("ReadByteCountMonitor")
+@register_block("SampleCountMonitor")
+class SampleCountMonitor(Block):
+    """Pass-through sample counter (ReadByteCountMonitor.cpp:44-63 — the
+    reference's only throughput metric and its run-loop termination
+    condition, nbfm_test.cpp:571).  The count lives in the carry so it
+    survives checkpoints; host-side totals also exist in RunStats."""
+
+    def init_state(self, batch_shape=()):
+        return jnp.zeros((), jnp.int32)
+
+    def apply(self, state, x):
+        return state + jnp.int32(x.shape[-1]), x
+
+
 @register_block("Deemphasis")
 class Deemphasis(Block):
-    """FM de-emphasis one-pole IIR (time constants from fm.h:20-21)."""
+    """FM de-emphasis one-pole IIR (time constants from fm.h:20-21).
+
+    Although an IIR has unbounded memory, the initial-state influence
+    decays as a^n, so under time sharding a warmup of
+    n = ln(1e-7)/ln(a) samples re-creates the carry to below -140 dB —
+    ``history`` is sized accordingly and the block stays time-shardable
+    (SURVEY.md hard part (a) generalized to IIR stages).  Poles too close
+    to 1 (warmup > _MAX_IIR_WARMUP) fall back to the sequential tail.
+    """
 
     in_dtype = jnp.float32
     out_dtype = jnp.float32
-    history = 1
-    time_shardable = False  # IIR: unbounded memory, runs post-gather
+
+    _MAX_IIR_WARMUP = 1 << 15
 
     def __init__(self, sample_rate: float, tau: float = 75e-6):
+        import math as _math
+
         self.a, self.b = iir.deemphasis_coeffs(tau, sample_rate)
         self.tau = tau
         self.sample_rate = sample_rate
+        warmup = int(_math.ceil(_math.log(1e-7) / _math.log(self.a)))
+        if warmup <= self._MAX_IIR_WARMUP:
+            self.history = warmup
+            self.time_shardable = True
+        else:
+            self.history = 1
+            self.time_shardable = False
 
     def init_state(self, batch_shape=()):
         return iir.single_pole_init(batch_shape)

@@ -180,9 +180,14 @@ def am_receiver(
     input_format: str = "cf32",
     db_attenuation: float = -60.0,
     fir_mode: str = "auto",
+    audio_band: tuple[float, float] | None = None,
 ) -> tuple[Chain, ReceiverSpec]:
     """AM envelope receiver (the am_test.cpp:435 chain: shift -> lowpass
-    decim -> QuadAmDemod -> carrier-bias removal -> audio lowpass)."""
+    decim -> QuadAmDemod -> carrier-bias removal -> audio filtering).
+
+    ``audio_band=(lo, hi)`` adds the band-pass audio shaping stage am_test
+    builds with remezGenerateSingleBandPassTaps (am_test.cpp:151-195,
+    createBandPassFilter :278-293)."""
     d1 = _rf_decimation(rf_sample_rate, bandwidth, min_oversample=4.0)
     quad_rate = rf_sample_rate / d1
     rf_taps = design.lowpass_taps(
@@ -200,6 +205,12 @@ def am_receiver(
     # Strip the carrier level (the AddConstToVectorLength role in the
     # am_test chain) with a DC blocker — no carrier amplitude needed.
     blocks.append(("dc", DcBlock()))
+    if audio_band is not None:
+        lo, hi = audio_band
+        bp = design.bandpass_taps(
+            quad_rate, lo, hi, transition_width=lo, db_attenuation=db_attenuation
+        )
+        blocks.append(("audio_bp", Fir(bp, 1, "Float", fir_mode)))
     if (up, down) != (1, 1):
         blocks.append(("audio", Resampler(up, down, db_attenuation=db_attenuation)))
 

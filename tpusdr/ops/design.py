@@ -89,6 +89,23 @@ def _sinc_lowpass(num_taps: int, cutoff_norm: float) -> np.ndarray:
     return 2.0 * cutoff_norm * np.sinc(2.0 * cutoff_norm * n)
 
 
+def window(name: str, num_taps: int, beta: float = 8.6) -> np.ndarray:
+    """Named window functions (the reference ships a Hamming window helper,
+    src/util/Window.cpp:23-31)."""
+    name = name.lower()
+    if name == "hamming":
+        return np.hamming(num_taps)
+    if name in ("hann", "hanning"):
+        return np.hanning(num_taps)
+    if name == "blackman":
+        return np.blackman(num_taps)
+    if name == "kaiser":
+        return np.kaiser(num_taps, beta)
+    if name in ("rect", "rectangular", "boxcar"):
+        return np.ones(num_taps)
+    raise ValueError(f"unknown window {name!r}")
+
+
 def kaiser_lowpass(
     sample_rate: float,
     cutoff: float,

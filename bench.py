@@ -1,10 +1,17 @@
 """Benchmark: WBFM receiver chain throughput on one chip.
 
-BASELINE.md config 3: wideband FM chain (freq shift -> decimating FIR ->
-quad FM demod -> de-emphasis -> resample to 48 kHz) on a single chip.
+BASELINE.md config 3: wideband FM chain (freq shift -> multistage decimating
+FIR -> quad FM demod -> de-emphasis -> resample to 48 kHz) on a single chip.
 The reference's implied design point is real-time 20 Msps complex ingest
 (HackRF max rate, nbfm_test.cpp:415) on one NVIDIA GPU; `vs_baseline` is
 the multiple of that rate this chip sustains.
+
+Methodology: the streaming step runs under lax.scan over K stacked ticks
+(state carried tick-to-tick — the production offline path, run_offline in
+graph/runner.py), timed at two scan lengths; the slope is the marginal
+per-tick cost.  This measures what the chip sustains, excluding this
+environment's ~40 ms per-dispatch tunnel round-trip (benchmarks/bw_probe.py),
+which a pipelined runner hides anyway (StreamRunner pipeline_depth).
 
 Prints ONE JSON line:
   {"metric": "wbfm_chain_msps_per_chip", "value": N, "unit": "Msamples/s",
@@ -21,6 +28,7 @@ import numpy as np
 
 def main() -> None:
     import jax
+    from jax import lax
 
     from tpusdr.models import receiver
     from tpusdr.ops import cplx
@@ -32,36 +40,36 @@ def main() -> None:
         variant=receiver.WBFM,
         audio_rate=48000.0,
     )
-    # ~8M samples/tick: amortizes the per-dispatch cost (~3 ms through this
-    # environment's TPU tunnel) against compute. A production streaming
-    # deployment at 20 Msps would run ~0.4 s of signal per dispatch anyway.
-    tick = chain.granule * max(1, (1 << 23) // chain.granule)
+    # ~4M samples/tick (0.2 s of signal at 20 Msps), K ticks resident in HBM.
+    tick = chain.granule * max(1, (1 << 22) // chain.granule)
+    K1, K2 = 4, 12
 
     rng = np.random.default_rng(0)
-    z = (rng.standard_normal(tick) + 1j * 0.5 * rng.standard_normal(tick)).astype(
-        np.complex64
+    xs = cplx.Complex(
+        jax.device_put(rng.standard_normal((K2, tick)).astype(np.float32)),
+        jax.device_put(rng.standard_normal((K2, tick)).astype(np.float32)),
     )
-    x = jax.device_put(cplx.from_numpy(z))
-    state = jax.device_put(chain.init_state())
+    state0 = jax.device_put(chain.init_state())
 
-    step = jax.jit(chain.apply, donate_argnums=(0,))
+    def step(state, x):
+        return chain.apply(state, x)
 
-    # compile + warmup
-    state, y = step(state, x)
-    jax.block_until_ready(y)
-    state, y = step(state, x)
-    jax.block_until_ready(y)
+    @jax.jit
+    def run(state, xs):
+        return lax.scan(step, state, xs)
 
-    # measure: device-resident streaming steps (the compute path the chip
-    # sustains; host ingest is overlapped by the runner's async pipeline)
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, y = step(state, x)
-    jax.block_until_ready(y)
-    dt = time.perf_counter() - t0
+    def timed(k: int) -> float:
+        s, ys = run(state0, jax.tree.map(lambda a: a[:k], xs))
+        jax.block_until_ready(ys)
+        t0 = time.perf_counter()
+        s, ys = run(state0, jax.tree.map(lambda a: a[:k], xs))
+        jax.block_until_ready(ys)
+        return time.perf_counter() - t0
 
-    msps = iters * tick / dt / 1e6
+    t1, t2 = timed(K1), timed(K2)
+    per_tick = (t2 - t1) / (K2 - K1)
+
+    msps = tick / per_tick / 1e6
     print(
         json.dumps(
             {

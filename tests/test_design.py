@@ -102,3 +102,79 @@ class TestHighLevelDesign:
         pb = h[(w > 0.11) & (w < 0.19)]
         assert 20 * np.log10(sb.max()) < -50.0
         assert abs(pb.max() - 1.0) < 0.05 and abs(pb.min() - 1.0) < 0.05
+
+
+class TestMultistageDecimation:
+    """decimation_stages must be spec-equivalent to the single-stage design:
+    unity passband and >= -60 dB on every frequency that folds into the
+    final band after all decimation stages."""
+
+    @staticmethod
+    def _composite_gain(stages, fs, freqs):
+        """|H(f)| of the cascade at absolute input frequencies ``freqs``:
+        each stage's DTFT is periodic in its own input rate."""
+        g = np.ones_like(freqs, dtype=np.complex128)
+        rate = fs
+        for taps, d in stages:
+            k = np.arange(len(taps))
+            g = g * np.exp(-2j * np.pi * np.outer(freqs / rate, k)).dot(taps)
+            rate /= d
+        return np.abs(g)
+
+    @pytest.mark.parametrize(
+        "fs,cutoff,tw,D",
+        [(20e6, 100e3, 100e3, 50), (2.4e6, 100e3, 100e3, 6), (10e6, 75e3, 25e3, 25)],
+    )
+    def test_spec_equivalence(self, fs, cutoff, tw, D):
+        from tpusdr.ops import design
+
+        stages = design.decimation_stages(fs, cutoff, tw, -60.0, D)
+        assert int(np.prod([d for _, d in stages])) == D
+        f_stop = cutoff + tw
+        fs_out = fs / D
+
+        # passband: ripple within ~0.2 dB (stacked stage ripples)
+        fp = np.linspace(1.0, cutoff, 301)
+        gp = self._composite_gain(stages, fs, fp)
+        assert np.all(np.abs(gp - 1.0) < 0.025), (gp.min(), gp.max())
+
+        # every input frequency whose post-decimation fold lands inside
+        # [0, f_stop-eps] must be attenuated to <= -58 dB (allow 2 dB of
+        # stacked transition-edge slack)
+        f = np.linspace(0, fs / 2, 20001)
+        folded = np.abs(((f + fs_out / 2) % fs_out) - fs_out / 2)
+        mask = (folded <= cutoff) & (f > f_stop)
+        ga = self._composite_gain(stages, fs, f[mask])
+        assert ga.max() < 10 ** (-58.0 / 20.0), 20 * np.log10(ga.max())
+
+    def test_multistage_streaming_matches_offline(self):
+        """Cascaded streaming Firs == one-shot numpy cascade (block-split
+        invariance through multiple stages)."""
+        from tpusdr.graph import blocks as B
+        from tpusdr.graph.chain import Chain
+        from tpusdr.ops import design
+
+        fs, D = 2.4e6, 6
+        stages = design.decimation_stages(fs, 100e3, 100e3, -60.0, D)
+        chain = Chain(
+            [(f"fir{i}", B.Fir(t, d, "FloatComplex")) for i, (t, d) in enumerate(stages)]
+        )
+        rng = np.random.default_rng(7)
+        n = chain.granule * (4096 // chain.granule + 1)
+        x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+
+        from tpusdr.ops import cplx
+
+        st = chain.init_state()
+        cut = (n // 2 // chain.granule) * chain.granule
+        st, y1 = chain.apply(st, cplx.from_numpy(x[:cut]))
+        st, y2 = chain.apply(st, cplx.from_numpy(x[cut:]))
+        got = np.concatenate([cplx.to_numpy(y1), cplx.to_numpy(y2)])
+
+        # zero history prefill => streaming y[m] = full_conv[m*d]
+        ref = x.astype(np.complex128)
+        for taps, d in stages:
+            full = np.convolve(ref, taps.astype(np.float64))
+            ref = full[: len(ref) : d]
+        m = min(len(got), len(ref))
+        np.testing.assert_allclose(got[:m], ref[:m].astype(np.complex64), atol=2e-3)

@@ -77,15 +77,23 @@ class Block:
 
     def update_parameters(self, **params) -> None:
         """Runtime parameter update (the reference's Node::updateParameters
-        JSON hook, Filter.h:36).  Sets matching attributes; the next apply()
-        traces with the new values (one re-jit per changed config — params
-        are compile-time constants on TPU by design)."""
+        JSON hook, Filter.h:36).  Sets matching attributes, then lets the
+        block recompute anything derived (``_params_updated``).  The next
+        *fresh trace* of apply() sees the new values — params are
+        compile-time constants on TPU by design, so a jitted step function
+        built before the update keeps the old ones (StreamRunner.refresh()
+        rebuilds its step for exactly this reason)."""
         for k, v in params.items():
             if not hasattr(self, k):
                 raise AttributeError(
                     f"{self.__class__.__name__} has no parameter {k!r}"
                 )
             setattr(self, k, v)
+        self._params_updated(frozenset(params))
+
+    def _params_updated(self, names: frozenset) -> None:
+        """Hook: recompute attributes derived from updated parameters
+        (NCO increments, IIR coefficients, tap arrays...)."""
 
     # -- static rate arithmetic (replaces SteppingDriver's runtime
     #    min(preferred, available) negotiation, SteppingDriver.cpp:279-287) --

@@ -72,6 +72,10 @@ class CosineSource(SourceBlock):
     def advance_state(self, state, num_samples: int):
         return osc.advance_phase(state, self.inc, num_samples)
 
+    def _params_updated(self, names: frozenset) -> None:
+        if names & {"frequency", "sample_rate"}:
+            self.inc = osc.freq_to_inc_u32(self.frequency, self.sample_rate)
+
 
 # ---------------------------------------------------------------------------
 # Format conversion
@@ -173,6 +177,17 @@ class Fir(Block):
             return self._apply_pallas(state, x)
         return fir.fir_apply(state, x, self.taps, self.decimation, self.mode)
 
+    def _params_updated(self, names: frozenset) -> None:
+        # Fir::setTaps parity (Fir.cpp:124-139).  A tap-count change alters
+        # the history length: the streaming state must be re-inited (the
+        # reference reallocates its buffer the same way).
+        if "taps" in names:
+            t = np.asarray(self.taps)
+            self.taps = jnp.asarray(
+                t.astype(np.complex64 if np.iscomplexobj(t) else np.float32)
+            )
+            self.history = fir.history_len(t.shape[-1])
+
     def _apply_pallas(self, state, x):
         """VMEM-resident Pallas kernel path (kernels/fir_pallas.py).
 
@@ -242,6 +257,13 @@ class FreqShift(Block):
 
     def advance_state(self, state, num_samples: int):
         return osc.advance_phase(state, self.inc, num_samples)
+
+    def _params_updated(self, names: frozenset) -> None:
+        # Retuning (the reference's updateParameters use case): new shift
+        # frequency takes effect on the next trace; the uint32 phase carry
+        # remains valid (phase is continuous across a frequency step).
+        if names & {"frequency", "sample_rate"}:
+            self.inc = osc.freq_to_inc_u32(self.frequency, self.sample_rate)
 
 
 @register_block("FusedFmDemod")
@@ -342,6 +364,10 @@ class FusedFmDemod(Block):
             "phase": state["phase"]
             + jnp.uint32((int(self.inc) * num_samples) % (1 << 32)),
         }
+
+    def _params_updated(self, names: frozenset) -> None:
+        if names & {"frequency", "sample_rate"}:
+            self.inc = osc.freq_to_inc_u32(self.frequency, self.sample_rate)
 
 
 # ---------------------------------------------------------------------------
@@ -513,6 +539,15 @@ class Deemphasis(Block):
     def apply(self, state, x):
         return iir.single_pole_apply(state, x, self.a, self.b)
 
+    def _params_updated(self, names: frozenset) -> None:
+        if names & {"tau", "sample_rate"}:
+            import math as _math
+
+            self.a, self.b = iir.deemphasis_coeffs(self.tau, self.sample_rate)
+            warmup = int(_math.ceil(_math.log(1e-7) / _math.log(self.a)))
+            self.time_shardable = warmup <= self._MAX_IIR_WARMUP
+            self.history = warmup if self.time_shardable else 1
+
 
 # ---------------------------------------------------------------------------
 # Rate conversion
@@ -562,6 +597,14 @@ class Resampler(Block):
     def apply(self, state, x):
         plan = self._plan(x.shape[-1])
         return resops.resample_apply(state, x, plan)
+
+    def _params_updated(self, names: frozenset) -> None:
+        if "taps" in names:
+            import tpusdr.utils.numerics as _num
+
+            self.taps = np.asarray(self.taps, np.float32)
+            self._plans.clear()
+            self.history = _num.cdiv(len(self.taps), self.up) - 1
 
 
 @register_block("Channelizer")

@@ -44,7 +44,13 @@ class Chain(Block):
                     "for multi-input topologies"
                 )
         self.blocks = named
+        self._recompute_plan()
 
+    def _recompute_plan(self) -> None:
+        """(Re)derive aggregate rate ratio, granule, history and dtypes from
+        the member blocks — called at build time and after
+        update_block_parameters (taps changes alter the history)."""
+        named = self.blocks
         # Aggregate rational rate ratio and input granule.
         ratio = Fraction(1)
         gran = 1
@@ -81,6 +87,28 @@ class Chain(Block):
     @property
     def granule(self) -> int:
         return self._granule
+
+    def get_block(self, name: str) -> Block:
+        for n, b in self.blocks:
+            if n == name:
+                return b
+        raise KeyError(f"no block named {name!r} in chain")
+
+    def update_block_parameters(self, name: str, **params) -> None:
+        """Runtime parameter update on a member block (the reference's
+        Node::updateParameters reached through a composite, Filter.h:36).
+        Rate ratios must not change (that would alter every downstream
+        shape); history changes are folded back into the chain plan.
+        Rebuild any jitted step afterwards (StreamRunner.refresh())."""
+        b = self.get_block(name)
+        old_rate = (b.up, b.down)
+        b.update_parameters(**params)
+        if (b.up, b.down) != old_rate:
+            raise ValueError(
+                f"update of {name!r} changed its rate {old_rate} -> "
+                f"{(b.up, b.down)}; rebuild the chain instead"
+            )
+        self._recompute_plan()
 
     def init_state(self, batch_shape: Sequence[int] = ()):
         state = {}

@@ -273,6 +273,26 @@ class Graph(Block):
             ratio[n] = r * Fraction(b.up, b.down)
         return g
 
+    def get_block(self, name: str) -> Block:
+        try:
+            return self.nodes[name]
+        except KeyError:
+            raise KeyError(f"no node named {name!r} in graph") from None
+
+    def update_block_parameters(self, name: str, **params) -> None:
+        """Node::updateParameters parity through a Graph composite
+        (Filter.h:36).  Rate-changing updates are rejected — they would
+        invalidate every downstream shape; rebuild the graph for those.
+        Rebuild any jitted step afterwards (StreamRunner.refresh())."""
+        b = self.get_block(name)
+        old_rate = (b.up, b.down)
+        b.update_parameters(**params)
+        if (b.up, b.down) != old_rate:
+            raise ValueError(
+                f"update of {name!r} changed its rate {old_rate} -> "
+                f"{(b.up, b.down)}; rebuild the graph instead"
+            )
+
     # ------------------------------------------------------------------
     # execution
     # ------------------------------------------------------------------

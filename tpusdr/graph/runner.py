@@ -71,10 +71,33 @@ class StreamRunner:
         self.device = device
         self.pipeline_depth = pipeline_depth
 
+        self._donate = donate_state
+        self._build_step()
+
+    def _build_step(self) -> None:
+        block = self.block
+
         def step(state, x):
             return block.apply(state, x)
 
-        self._step = jax.jit(step, donate_argnums=(0,) if donate_state else ())
+        self._step = jax.jit(step, donate_argnums=(0,) if self._donate else ())
+
+    def refresh(self) -> None:
+        """Rebuild the jitted step after block.update_parameters: jit caches
+        on the function object, not on closed-over block attributes, so a
+        parameter change is invisible to the old step.  One recompile on the
+        next tick (the reference pays a node-local reconfigure instead,
+        Filter.h:36)."""
+        self._build_step()
+
+    def update_parameters(self, block_name: str | None = None, **params) -> None:
+        """updateParameters + re-jit in one call. With ``block_name``,
+        targets a member of a Chain/Graph; otherwise the block itself."""
+        if block_name is None:
+            self.block.update_parameters(**params)
+        else:
+            self.block.update_block_parameters(block_name, **params)
+        self.refresh()
 
     def init_state(self):
         return self.block.init_state()

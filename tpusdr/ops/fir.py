@@ -159,12 +159,18 @@ def _fir_conv(x: jnp.ndarray, taps: jnp.ndarray, D: int, M: int) -> jnp.ndarray:
 
 
 def _fir_poly(x: jnp.ndarray, taps: jnp.ndarray, D: int, M: int) -> jnp.ndarray:
-    """Polyphase-frame einsum path (real-only; caller splits complex).
+    """Polyphase-frame accumulation path (real-only; caller splits complex).
 
     taps reversed and zero-padded to P*D; x zero-padded to (M+P-1)*D and
     reshaped into non-overlapping (frame, D) blocks; the decimating FIR is
-    then y[m] = sum_p frames[m+p] . H[p] — P shifted slices + one einsum,
-    no strided gathers.
+    then y[m] = sum_p frames[m+p] . H[p] — P shifted slices, each reduced
+    over D and accumulated.  The P partial products are accumulated in a
+    Python loop rather than stacked + einsummed: XLA fuses each
+    slice-multiply-reduce-add into one VPU pass over the frames, so the
+    (P, ..., M, D) intermediate never exists.  Measured 5x faster than the
+    stack+einsum form at T=546/D=50 on v5e (benchmarks/fir_scan_probe.py:
+    3970 vs 803 Msps) — the stack materializes a P-fold copy of the signal
+    in HBM; the accumulation is a single streaming read.
     """
     T = taps.shape[-1]
     P = cdiv(T, D)
@@ -178,11 +184,11 @@ def _fir_poly(x: jnp.ndarray, taps: jnp.ndarray, D: int, M: int) -> jnp.ndarray:
     else:
         x = x[..., :need]
     frames = x.reshape(x.shape[:-1] + (M + P - 1, D)).astype(jnp.float32)
-    # windows[p] = frames[..., p : p + M, :]
-    shifted = jnp.stack(
-        [lax.slice_in_dim(frames, p, p + M, axis=-2) for p in range(P)], axis=0
-    )  # (P, ..., M, D)
-    return jnp.einsum("p...md,pd->...m", shifted, h_pad)
+    acc = jnp.zeros(x.shape[:-1] + (M,), jnp.float32)
+    for p in range(P):
+        w = lax.slice_in_dim(frames, p, p + M, axis=-2)
+        acc = acc + jnp.einsum("...md,d->...m", w, h_pad[p])
+    return acc
 
 
 def _fir_fft_dispatch(x, taps, D: int, M: int, pair_in: bool):

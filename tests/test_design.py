@@ -123,7 +123,12 @@ class TestMultistageDecimation:
 
     @pytest.mark.parametrize(
         "fs,cutoff,tw,D",
-        [(20e6, 100e3, 100e3, 50), (2.4e6, 100e3, 100e3, 6), (10e6, 75e3, 25e3, 25)],
+        [
+            (20e6, 100e3, 100e3, 50),
+            (2.4e6, 100e3, 100e3, 6),
+            (10e6, 75e3, 25e3, 25),
+            (100e6, 100e3, 100e3, 250),  # lane-aware model picks 2 stages
+        ],
     )
     def test_spec_equivalence(self, fs, cutoff, tw, D):
         from tpusdr.ops import design
@@ -154,8 +159,14 @@ class TestMultistageDecimation:
         from tpusdr.graph.chain import Chain
         from tpusdr.ops import design
 
-        fs, D = 2.4e6, 6
+        fs, D = 9.6e6, 24
         stages = design.decimation_stages(fs, 100e3, 100e3, -60.0, D)
+        if len(stages) == 1:  # force a cascade: the streaming-composition
+            # invariant must hold for any spec-equivalent split
+            stages = [
+                (design.lowpass_taps(fs, 100e3, fs / 4 - 2e5, -60.0), 4),
+                (design.lowpass_taps(fs / 4, 100e3, 100e3, -60.0), 6),
+            ]
         chain = Chain(
             [(f"fir{i}", B.Fir(t, d, "FloatComplex")) for i, (t, d) in enumerate(stages)]
         )

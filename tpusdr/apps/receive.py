@@ -62,6 +62,15 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--no-deemphasis", action="store_true")
     ap.add_argument(
+        "--channel-width", type=_parse_float, default=None,
+        help="override channel width, Hz (145.45 digital app parity: "
+        "custom channelWidth, 145.45_digital_signal_to_audio.cpp:399-404)",
+    )
+    ap.add_argument(
+        "--deviation", type=_parse_float, default=None,
+        help="override FM deviation, Hz (fskDeviationIfFm parity)",
+    )
+    ap.add_argument(
         "--platform",
         default=None,
         help="force a jax platform (e.g. 'cpu'); overrides plugin defaults",
@@ -87,6 +96,8 @@ def main(argv=None) -> int:
             args.offset,
             receiver.WBFM if args.mod == "wbfm" else receiver.NBFM,
             args.audio_rate,
+            channel_width=args.channel_width,
+            deviation=args.deviation,
             deemphasis_tau=None if args.no_deemphasis else receiver.TAU_US,
             input_format=args.format,
         )
@@ -109,7 +120,7 @@ def main(argv=None) -> int:
 
             src = SyntheticIqSource(tick, fs, make, args.format, n_blocks)
         else:
-            dev = (
+            dev = args.deviation or (
                 receiver.WBFM_DEVIATION
                 if args.mod == "wbfm"
                 else receiver.NBFM_DEVIATION

@@ -573,33 +573,52 @@ def decimation_stages(
             fs = fs_out
         return specs
 
+    # TPU-lane-aware cost model.  The polyphase kernel (ops/fir.py
+    # _fir_poly) makes ceil(T/D) passes over frames whose minor axis is D;
+    # TPU arrays tile the minor axis to 128 lanes, so a stage's effective
+    # traffic per input sample is ceil(T/D) * max(D,128)/D, NOT T/D MACs.
+    # Measured (benchmarks/fir_transpose_probe.py, v5e): D=50/T=546 runs
+    # 6x faster than D=10/T=33 per input sample despite 2.5x more MACs —
+    # lane utilization dominates.  Small-D stages are only worth it when
+    # every candidate stage keeps D large.
+    LANE = 128.0
+
+    def stage_cost(t_est: int, d: int) -> float:
+        passes = -(-t_est // d)  # ceil(T/D), the P slice-reduce passes
+        return passes * max(float(d), LANE) / d
+
     best = None
     for factors in _ordered_factorizations(D):
         specs = stage_specs(factors)
         if specs is None:
             continue
-        # work per input sample of the cascade: stage i consumes at rate
-        # fs_i, runs T_i MACs per output = T_i/d_i per stage-input sample,
-        # scaled by the input-rate fraction reaching it.
         cost = 0.0
         rate_frac = 1.0
         for (fs_i, c_i, tw_i), d in zip(specs, factors):
             t_est = kaiser_tap_count(db_attenuation, tw_i, fs_i)
-            cost += rate_frac * t_est / d
+            cost += rate_frac * stage_cost(t_est, d)
             rate_frac /= d
         if best is None or cost < best[0] - 1e-9:
             best = (cost, factors, specs)
 
     _, factors, specs = best
     if len(factors) > 1:
+        single_t = kaiser_tap_count(
+            db_attenuation, f_stop - f_pass, sample_rate
+        )
         log.info(
-            "multistage decimation %d -> %s (est. %.1f MACs/input vs %.1f single)",
+            "multistage decimation %d -> %s (lane-aware cost %.1f vs %.1f single)",
             D,
             factors,
             best[0],
-            kaiser_tap_count(db_attenuation, f_stop - f_pass, sample_rate) / D,
+            stage_cost(single_t, D),
         )
+    # 2 dB design margin per cascade stage: the tap-count estimators can
+    # under-deliver a couple dB at band edges, and in a cascade each fold
+    # region is protected by ONE stage, so that stage alone must meet the
+    # full spec.
+    atten = db_attenuation - 2.0 if len(factors) > 1 else db_attenuation
     return [
-        (lowpass_taps(fs_i, c_i, tw_i, db_attenuation), d)
+        (lowpass_taps(fs_i, c_i, tw_i, atten), d)
         for (fs_i, c_i, tw_i), d in zip(specs, factors)
     ]

@@ -40,7 +40,9 @@ def main() -> None:
         variant=receiver.WBFM,
         audio_rate=48000.0,
     )
-    # ~4M samples/tick (0.2 s of signal at 20 Msps), K ticks resident in HBM.
+    # ~4M samples/tick (0.2 s of signal at 20 Msps), K ticks resident in HBM
+    # (8M ticks measured ~30% slower per sample — HBM pressure from the
+    # stacked scan inputs).
     tick = chain.granule * max(1, (1 << 22) // chain.granule)
     K1, K2 = 4, 12
 
@@ -66,7 +68,9 @@ def main() -> None:
         jax.block_until_ready(ys)
         return time.perf_counter() - t0
 
-    t1, t2 = timed(K1), timed(K2)
+    # min-of-3 per scan length: the tunnel adds multi-ms jitter per dispatch
+    t1 = min(timed(K1) for _ in range(3))
+    t2 = min(timed(K2) for _ in range(3))
     per_tick = (t2 - t1) / (K2 - K1)
 
     msps = tick / per_tick / 1e6

@@ -35,7 +35,7 @@ def main() -> None:
         rf_sample_rate=fs, freq_offset=2.5e6, variant=receiver.WBFM
     )
     tick = chain.granule * max(1, (1 << 22) // chain.granule)
-    K1, K2 = 8, 64
+    K1, K2 = 4, 12
     rng = np.random.default_rng(0)
 
     def scan_slope(blk, n_in, complex_in):
@@ -59,8 +59,8 @@ def main() -> None:
             jax.block_until_ready(ys)
             return time.perf_counter() - t0
 
-        t1 = min(timed(K1), timed(K1))
-        t2 = min(timed(K2), timed(K2))
+        t1 = min(timed(K1), timed(K1), timed(K1))
+        t2 = min(timed(K2), timed(K2), timed(K2))
         return (t2 - t1) / (K2 - K1)
 
     n = tick

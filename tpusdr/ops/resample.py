@@ -164,11 +164,14 @@ def _resample_real(ext: jnp.ndarray, plan: ResamplerPlan) -> jnp.ndarray:
     elif pad < 0:
         xs = xs[..., :need]
     frames = xs.reshape(xs.shape[:-1] + (t_count + pp - 1, D)).astype(jnp.float32)
-    shifted = jnp.stack(
-        [jax.lax.slice_in_dim(frames, p, p + t_count, axis=-2) for p in range(pp)],
-        axis=0,
-    )  # (pp, ..., U, t, D)
-    v = jnp.einsum("p...utd,upd->...ut", shifted, jnp.asarray(h_pad))
+    # Accumulate the pp shifted slice-reductions instead of stacking them:
+    # same rationale as fir._fir_poly (the stack materializes a pp-fold
+    # copy; the loop is a fused streaming pass per p).
+    hj = jnp.asarray(h_pad)  # (U, pp, D)
+    v = jnp.zeros(frames.shape[:-2] + (t_count,), jnp.float32)
+    for p in range(pp):
+        w = jax.lax.slice_in_dim(frames, p, p + t_count, axis=-2)  # (..., U, t, D)
+        v = v + jnp.einsum("...utd,ud->...ut", w, hj[:, p])
     # interleave classes: m = c + U*t  ->  (..., t, U) -> (..., t*U)
     y = jnp.swapaxes(v, -1, -2).reshape(v.shape[:-2] + (plan.block_out,))
     return y.astype(jnp.float32)

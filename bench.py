@@ -68,10 +68,16 @@ def main() -> None:
         jax.block_until_ready(ys)
         return time.perf_counter() - t0
 
-    # min-of-3 per scan length: the tunnel adds multi-ms jitter per dispatch
-    t1 = min(timed(K1) for _ in range(3))
-    t2 = min(timed(K2) for _ in range(3))
+    # min-of-5 per scan length: the tunnel adds multi-ms jitter per dispatch
+    t1 = min(timed(K1) for _ in range(5))
+    t2 = min(timed(K2) for _ in range(5))
     per_tick = (t2 - t1) / (K2 - K1)
+    # Jitter can still corrupt the slope (t1 caught a slow dispatch).  The
+    # K2-average includes the fixed dispatch cost, so it is a safe lower
+    # bound on throughput: clamp the marginal estimate into (0, avg].
+    avg = t2 / K2
+    if not (0.0 < per_tick <= avg):
+        per_tick = avg
 
     msps = tick / per_tick / 1e6
     print(

@@ -175,7 +175,26 @@ class Fir(Block):
     def apply(self, state, x):
         if self.mode == "pallas":
             return self._apply_pallas(state, x)
+        if self.mode == "auto" and self._pallas_eligible(x):
+            from tpusdr.kernels.dispatch import pallas_mode
+
+            # compiled Mosaic measured 5.2x over the XLA polyphase path
+            # (kernels/dispatch.py); interpret mode is test-only, so 'auto'
+            # takes the kernel exclusively when it compiles.
+            if pallas_mode() == "compiled":
+                return self._apply_pallas(state, x)
         return fir.fir_apply(state, x, self.taps, self.decimation, self.mode)
+
+    def _pallas_eligible(self, x) -> bool:
+        """Pair input, real taps, decimation >= 2, unbatched stream."""
+        from tpusdr.ops import cplx as _cplx
+
+        return (
+            _cplx.is_pair(x)
+            and x.ndim == 1
+            and self.decimation >= 2
+            and not jnp.iscomplexobj(self.taps)
+        )
 
     def _params_updated(self, names: frozenset) -> None:
         # Fir::setTaps parity (Fir.cpp:124-139).  A tap-count change alters
@@ -193,18 +212,11 @@ class Fir(Block):
 
         Requires pair input, real taps, decimation >= 2, unbatched stream;
         falls back to the XLA poly path otherwise."""
-        from tpusdr.ops import cplx as _cplx
-
-        usable = (
-            _cplx.is_pair(x)
-            and x.ndim == 1
-            and self.decimation >= 2
-            and not jnp.iscomplexobj(self.taps)
-        )
-        if not usable:
+        if not self._pallas_eligible(x):
             return fir.fir_apply(state, x, self.taps, self.decimation, "poly")
         from tpusdr.kernels.dispatch import pallas_mode
         from tpusdr.kernels.fir_pallas import fir_decim_pallas
+        from tpusdr.ops import cplx as _cplx
 
         mode = pallas_mode()
         if mode == "xla":  # Mosaic unavailable on this backend

@@ -29,20 +29,23 @@ from tpusdr.ops import cplx
 from tpusdr.utils.numerics import cdiv, round_up
 
 
-def _kernel(hr_ref, hi_ref, h_ref, out_r_ref, out_i_ref, sr, si, sem_r, sem_i, *, B, P, D):
+def _kernel(hr_ref, hi_ref, h_ref, out_r_ref, out_i_ref, sr, si, sem_r, sem_i, *, B, P, D, rows):
+    # ``rows`` is B+P-1 rounded up to 8: Mosaic DMAs crash the TPU worker
+    # on row counts that aren't sublane (8) multiples (probed 2026-08-18,
+    # benchmarks/pallas_mosaic_probes.py); extra rows are zero padding.
     k = pl.program_id(0)
-    rows = B + P - 1
     cp_r = pltpu.make_async_copy(hr_ref.at[pl.ds(k * B, rows), :], sr, sem_r)
     cp_i = pltpu.make_async_copy(hi_ref.at[pl.ds(k * B, rows), :], si, sem_i)
     cp_r.start()
     cp_i.start()
     cp_r.wait()
     cp_i.wait()
-    acc_r = sr[0:B, :] * h_ref[0, :]
-    acc_i = si[0:B, :] * h_ref[0, :]
+    # rank-matched (1, Dp) tap rows: Mosaic has no implicit rank expansion
+    acc_r = sr[0:B, :] * h_ref[0:1, :]
+    acc_i = si[0:B, :] * h_ref[0:1, :]
     for p in range(1, P):
-        acc_r = acc_r + sr[p : p + B, :] * h_ref[p, :]
-        acc_i = acc_i + si[p : p + B, :] * h_ref[p, :]
+        acc_r = acc_r + sr[p : p + B, :] * h_ref[p : p + 1, :]
+        acc_i = acc_i + si[p : p + B, :] * h_ref[p : p + 1, :]
     out_r_ref[:] = jnp.sum(acc_r, axis=1)
     out_i_ref[:] = jnp.sum(acc_i, axis=1)
 
@@ -62,8 +65,9 @@ def _fir_decim_call(xr, xi, taps, decimation, block_b, interpret):
 
     B = block_b
     m_pad = round_up(M, B)
-    rows = m_pad + P - 1
-    need = rows * D
+    dma_rows = round_up(B + P - 1, 8)  # sublane-aligned DMA window
+    total_rows = (m_pad - B) + dma_rows  # last block's window must fit
+    need = total_rows * D
 
     # Mosaic DMA slices need the lane (minor) dim aligned to 128: pad the
     # frame width from D to a 128 multiple (zero lanes meet zero taps).
@@ -76,7 +80,7 @@ def _fir_decim_call(xr, xi, taps, decimation, block_b, interpret):
             x = jnp.pad(x, (0, pad))
         else:
             x = x[:need]
-        f = x.reshape(rows, D)
+        f = x.reshape(total_rows, D)
         if Dp != D:
             f = jnp.pad(f, ((0, 0), (0, Dp - D)))
         return f
@@ -89,7 +93,7 @@ def _fir_decim_call(xr, xi, taps, decimation, block_b, interpret):
         jax.ShapeDtypeStruct((m_pad,), jnp.float32),
     )
     yr, yi = pl.pallas_call(
-        functools.partial(_kernel, B=B, P=P, D=D),
+        functools.partial(_kernel, B=B, P=P, D=D, rows=dma_rows),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -102,8 +106,8 @@ def _fir_decim_call(xr, xi, taps, decimation, block_b, interpret):
         ),
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((B + P - 1, Dp), jnp.float32),
-            pltpu.VMEM((B + P - 1, Dp), jnp.float32),
+            pltpu.VMEM((dma_rows, Dp), jnp.float32),
+            pltpu.VMEM((dma_rows, Dp), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],

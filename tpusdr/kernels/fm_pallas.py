@@ -94,9 +94,12 @@ def _kernel(
     Dp,
     inc,
     gain,
+    rows,
 ):
+    # ``rows``: B+P rounded up to 8 — Mosaic DMA row counts must be
+    # sublane multiples or the TPU worker crashes
+    # (benchmarks/pallas_mosaic_probes.py X1).
     k = pl.program_id(0)
-    rows = B + P
     cp_r = pltpu.make_async_copy(hr_ref.at[pl.ds(k * B, rows), :], sr, sem_r)
     cp_i = pltpu.make_async_copy(hi_ref.at[pl.ds(k * B, rows), :], si, sem_i)
     cp_r.start()
@@ -122,11 +125,11 @@ def _kernel(
     ui = sr[:] * s + si[:] * c
 
     n = B + 1
-    acc_r = ur[0:n, :] * h_ref[0, :]
-    acc_i = ui[0:n, :] * h_ref[0, :]
+    acc_r = ur[0:n, :] * h_ref[0:1, :]
+    acc_i = ui[0:n, :] * h_ref[0:1, :]
     for p in range(1, P):
-        acc_r = acc_r + ur[p : p + n, :] * h_ref[p, :]
-        acc_i = acc_i + ui[p : p + n, :] * h_ref[p, :]
+        acc_r = acc_r + ur[p : p + n, :] * h_ref[p : p + 1, :]
+        acc_i = acc_i + ui[p : p + n, :] * h_ref[p : p + 1, :]
     vr = jnp.sum(acc_r, axis=1)
     vi = jnp.sum(acc_i, axis=1)
 
@@ -151,8 +154,9 @@ def _fused_call(xr, xi, taps, phase0, decimation, inc_u32, gain, block_b, interp
 
     B = block_b
     m_pad = round_up(max(M, 1), B)
-    rows = m_pad + P
-    need = rows * D
+    dma_rows = round_up(B + P, 8)  # sublane-aligned DMA window
+    total_rows = (m_pad - B) + dma_rows
+    need = total_rows * D
 
     # Lane-align the frame width for Mosaic DMA (see fir_pallas).
     Dp = round_up(D, 128)
@@ -164,7 +168,7 @@ def _fused_call(xr, xi, taps, phase0, decimation, inc_u32, gain, block_b, interp
             x = jnp.pad(x, (0, pad))
         else:
             x = x[:need]
-        f = x.reshape(rows, D)
+        f = x.reshape(total_rows, D)
         if Dp != D:
             f = jnp.pad(f, ((0, 0), (0, Dp - D)))
         return f
@@ -175,7 +179,8 @@ def _fused_call(xr, xi, taps, phase0, decimation, inc_u32, gain, block_b, interp
 
     y = pl.pallas_call(
         functools.partial(
-            _kernel, B=B, P=P, D=D, Dp=Dp, inc=int(inc_u32), gain=float(gain)
+            _kernel, B=B, P=P, D=D, Dp=Dp, inc=int(inc_u32), gain=float(gain),
+            rows=dma_rows,
         ),
         grid=(m_pad // B,),
         in_specs=[
@@ -187,8 +192,8 @@ def _fused_call(xr, xi, taps, phase0, decimation, inc_u32, gain, block_b, interp
         out_specs=pl.BlockSpec((B,), lambda k: (k,), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_pad,), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((B + P, Dp), jnp.float32),
-            pltpu.VMEM((B + P, Dp), jnp.float32),
+            pltpu.VMEM((dma_rows, Dp), jnp.float32),
+            pltpu.VMEM((dma_rows, Dp), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],

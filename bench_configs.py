@@ -4,75 +4,91 @@ each (bench.py remains the single-line headline for the driver).
   1. CosineSource -> 64-tap FIR -> magnitude (FirTests/CosineSourceTests
      mirror), 1 Msample blocks
   2. int8 IQ -> convert -> shift -> decimating FIR -> QuadAmDemod
-  3. WBFM chain: IQ -> polyphase decimate -> QuadFmDemod -> 48 kHz audio
+  3. WBFM chain: IQ -> shift -> decimating FIR -> QuadFmDemod -> 48 kHz
+     audio, measured in both the unfused (MXU FIR) and fused (Pallas
+     front-end) forms
   4. 64-channel PFB channelizer + FM demod bank
 
 Config 5 (multi-host sustained capture) needs a pod; its machinery is
 exercised by dryrun_multichip and apps/bench_scaling.
 
-Usage: ``python bench_configs.py [--config N]`` — compiles through this
-environment's TPU tunnel are slow, so running one config per process keeps
-each run inside a sane timeout.
+All timings use the scan-marginal method (utils/profiling.scan_marginal):
+this box's ~40 ms tunnel dispatch cost makes dispatch-loop timing garbage.
+
+Usage: ``python bench_configs.py [--config N] [--out FILE]`` — one config
+per process keeps each TPU-tunnel compile inside a sane timeout; --out
+appends the result line(s) to a JSON-lines artifact (BENCH_configs_rNN.json).
 """
 
 from __future__ import annotations
 
 import argparse
 import json
-import time
 
 import numpy as np
 
 
-def _time_step(step_fn, state, x=None, iters: int = 8) -> float:
+def _measure_chain(chain, xs_np, ks=(2, 5, 8)) -> dict:
+    """Marginal per-tick seconds of chain.apply under lax.scan."""
     import jax
+    from jax import lax
 
-    args = (state,) if x is None else (state, x)
-    state, y = step_fn(*args)
-    jax.block_until_ready(y)
-    state, y = (step_fn(state) if x is None else step_fn(state, x))
-    jax.block_until_ready(y)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, y = step_fn(state) if x is None else step_fn(state, x)
-    jax.block_until_ready(y)
-    return (time.perf_counter() - t0) / iters
+    from tpusdr.ops import cplx
+    from tpusdr.utils.profiling import scan_marginal
+
+    if isinstance(xs_np, cplx.Complex):
+        xs = cplx.Complex(jax.device_put(xs_np.re), jax.device_put(xs_np.im))
+    else:
+        xs = jax.device_put(xs_np)
+    state0 = jax.device_put(chain.init_state())
+
+    @jax.jit
+    def run(state, xs):
+        return lax.scan(chain.apply, state, xs)
+
+    return scan_marginal(run, state0, xs, ks=ks)
 
 
-def _time_chain(chain, x, iters: int = 8) -> float:
-    import jax
-
-    step = jax.jit(chain.apply, donate_argnums=(0,))
-    return _time_step(step, jax.device_put(chain.init_state()), jax.device_put(x), iters)
+def _stack_ticks(make_tick, k: int):
+    return np.stack([make_tick() for _ in range(k)])
 
 
 def config1() -> dict:
     """CosineSource -> 64-tap FIR -> Magnitude (tests/FirTests mirror)."""
     import jax
+    from jax import lax
     import scipy.signal as sps
 
     from tpusdr.graph import blocks as B
+    from tpusdr.utils.profiling import scan_marginal
 
     n1 = 1 << 20
+    ks = (2, 5, 8)
     osc_b = B.CosineSource(20e6, 1.25e6, "FloatComplex")
     fir_b = B.Fir(sps.firwin(64, 0.2).astype(np.float32), 1)
     mag_b = B.Magnitude()
 
-    def step(state):
+    def step(state, _):
         s = dict(state)
         s["osc"], v = osc_b.generate(state["osc"], n1)
         s["fir"], v = fir_b.apply(state["fir"], v)
         s["mag"], v = mag_b.apply(state["mag"], v)
         return s, v
 
-    state = jax.device_put(
+    state0 = jax.device_put(
         {"osc": osc_b.init_state(), "fir": fir_b.init_state(), "mag": ()}
     )
-    dt = _time_step(jax.jit(step, donate_argnums=(0,)), state)
+
+    @jax.jit
+    def run(state, xs):
+        return lax.scan(step, state, xs)
+
+    m = scan_marginal(run, state0, np.zeros(max(ks), np.float32), ks=ks)
     return {
         "metric": "cosine_fir64_magnitude_msps",
-        "value": round(n1 / dt / 1e6, 2),
+        "value": round(n1 / m["per_tick"] / 1e6, 2),
         "unit": "Msamples/s",
+        "spread_pct": round(100 * m["spread"], 1),
     }
 
 
@@ -82,33 +98,48 @@ def config2() -> dict:
     rng = np.random.default_rng(0)
     chain, _ = receiver.am_receiver(10e6, 1.25e6, input_format="int8")
     tick = chain.granule * max(1, (1 << 22) // chain.granule)
-    raw = rng.integers(-128, 128, size=tick, dtype=np.int8)
-    dt = _time_chain(chain, raw)
+    xs = _stack_ticks(
+        lambda: rng.integers(-128, 128, size=tick, dtype=np.int8), 8
+    )
+    m = _measure_chain(chain, xs)
     return {
         "metric": "am_chain_int8_msps",
-        "value": round(tick / 2 / dt / 1e6, 2),
+        "value": round(tick / 2 / m["per_tick"] / 1e6, 2),
         "unit": "Mcsamples/s",
+        "spread_pct": round(100 * m["spread"], 1),
     }
 
 
-def config3() -> dict:
+def _wbfm(use_fused: bool) -> dict:
     from tpusdr.models import receiver
     from tpusdr.ops import cplx
 
     rng = np.random.default_rng(0)
-    chain, _ = receiver.fm_receiver(20e6, 2.5e6, receiver.WBFM, 48000.0)
-    tick = chain.granule * max(1, (1 << 23) // chain.granule)
-    z = (rng.standard_normal(tick) + 1j * rng.standard_normal(tick)).astype(
-        np.complex64
+    chain, _ = receiver.fm_receiver(
+        20e6, 2.5e6, receiver.WBFM, 48000.0, use_fused=use_fused
     )
-    dt = _time_chain(chain, cplx.from_numpy(z))
-    v = round(tick / dt / 1e6, 2)
+    tick = chain.granule * max(1, (1 << 22) // chain.granule)
+    xs = cplx.Complex(
+        _stack_ticks(lambda: rng.standard_normal(tick).astype(np.float32), 8),
+        _stack_ticks(lambda: rng.standard_normal(tick).astype(np.float32), 8),
+    )
+    m = _measure_chain(chain, xs)
+    v = round(tick / m["per_tick"] / 1e6, 2)
     return {
-        "metric": "wbfm_chain_msps",
+        "metric": "wbfm_chain_fused_msps" if use_fused else "wbfm_chain_msps",
         "value": v,
         "unit": "Msamples/s",
         "vs_baseline": round(v / 20.0, 2),
+        "spread_pct": round(100 * m["spread"], 1),
     }
+
+
+def config3() -> dict:
+    return _wbfm(use_fused=False)
+
+
+def config3_fused() -> dict:
+    return _wbfm(use_fused=True)
 
 
 def config4() -> dict:
@@ -118,27 +149,34 @@ def config4() -> dict:
     rng = np.random.default_rng(0)
     chain, _ = multichannel.fm_channel_bank(20.48e6, 64, 16000.0)
     tick = chain.granule * max(1, (1 << 22) // chain.granule)
-    z = (rng.standard_normal(tick) + 1j * rng.standard_normal(tick)).astype(
-        np.complex64
+    xs = cplx.Complex(
+        _stack_ticks(lambda: rng.standard_normal(tick).astype(np.float32), 8),
+        _stack_ticks(lambda: rng.standard_normal(tick).astype(np.float32), 8),
     )
-    dt = _time_chain(chain, cplx.from_numpy(z))
+    m = _measure_chain(chain, xs)
     return {
         "metric": "fm_channel_bank64_msps",
-        "value": round(tick / dt / 1e6, 2),
+        "value": round(tick / m["per_tick"] / 1e6, 2),
         "unit": "Msamples/s",
+        "spread_pct": round(100 * m["spread"], 1),
     }
 
 
-CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4}
+CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config3_fused}
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=int, default=None, choices=sorted(CONFIGS))
+    ap.add_argument("--out", type=str, default=None, help="append JSON lines here")
     args = ap.parse_args()
     todo = [args.config] if args.config else sorted(CONFIGS)
     for i in todo:
-        print(json.dumps(CONFIGS[i]()), flush=True)
+        line = json.dumps(CONFIGS[i]())
+        print(line, flush=True)
+        if args.out:
+            with open(args.out, "a") as f:
+                f.write(line + "\n")
 
 
 if __name__ == "__main__":

@@ -87,8 +87,13 @@ class TestChain:
             s, y = c.apply(s, zp[..., i : i + n])
             outs.append(np.asarray(y))
             i += n
-        np.testing.assert_array_equal(
-            np.concatenate(outs), np.asarray(whole)
+        # Same samples up to float32 reassociation: the MXU FIR's output
+        # tile phase depends on the block boundary, so a chunking that is
+        # not a tile multiple regroups the (banded, mostly-zero) dot terms.
+        # The streaming contract is the reference's 1e-3 (FirTests.cpp:87);
+        # we hold 1e-5.  Bit-exactness holds in mode='poly' (test_fir).
+        np.testing.assert_allclose(
+            np.concatenate(outs), np.asarray(whole), atol=1e-5
         )
 
     def test_checkpoint_resume(self, rng, tmp_path):
@@ -225,7 +230,8 @@ class TestGraph:
         for i in range(0, 1024, 256):
             s, y = g.apply(s, zp[..., i : i + 256])
             outs.append(np.asarray(y))
-        np.testing.assert_array_equal(np.concatenate(outs), np.asarray(whole))
+        # 1e-5: MXU FIR tile-phase reassociation (see TestChain note).
+        np.testing.assert_allclose(np.concatenate(outs), np.asarray(whole), atol=1e-5)
 
 
 class TestDot:

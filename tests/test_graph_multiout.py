@@ -69,5 +69,6 @@ class TestFanOut:
             parts_mag.append(np.asarray(b))
         s0 = g.init_state()
         _, (wa, wb) = g.apply(s0, zp)
-        np.testing.assert_array_equal(np.concatenate(parts_fm), np.asarray(wa))
-        np.testing.assert_array_equal(np.concatenate(parts_mag), np.asarray(wb))
+        # 1e-5: MXU FIR tile-phase reassociation (see test_graph_chain note).
+        np.testing.assert_allclose(np.concatenate(parts_fm), np.asarray(wa), atol=1e-5)
+        np.testing.assert_allclose(np.concatenate(parts_mag), np.asarray(wb), atol=1e-5)

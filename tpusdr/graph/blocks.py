@@ -173,16 +173,13 @@ class Fir(Block):
         return fir.fir_init_state(self.taps, dt, batch_shape)
 
     def apply(self, state, x):
+        # 'auto' resolves to the banded-matmul MXU path (ops/fir.py):
+        # probed faster than the hand-written Pallas kernel at every
+        # production shape (benchmarks/fir_mxu_probe.py: 5018 vs 4636
+        # Msps(in) at the WBFM RF stage, 4085 vs 518 over poly at stage 1);
+        # mode='pallas' keeps the kernel path reachable.
         if self.mode == "pallas":
             return self._apply_pallas(state, x)
-        if self.mode == "auto" and self._pallas_eligible(x):
-            from tpusdr.kernels.dispatch import pallas_mode
-
-            # compiled Mosaic measured 5.2x over the XLA polyphase path
-            # (kernels/dispatch.py); interpret mode is test-only, so 'auto'
-            # takes the kernel exclusively when it compiles.
-            if pallas_mode() == "compiled":
-                return self._apply_pallas(state, x)
         return fir.fir_apply(state, x, self.taps, self.decimation, self.mode)
 
     def _pallas_eligible(self, x) -> bool:
@@ -276,6 +273,151 @@ class FreqShift(Block):
         # remains valid (phase is continuous across a frequency step).
         if names & {"frequency", "sample_rate"}:
             self.inc = osc.freq_to_inc_u32(self.frequency, self.sample_rate)
+
+
+@register_block("CosineMix")
+class CosineMix(Block):
+    """Multiply a real stream by a real cosine — the reference's
+    Float-sampleType Cosine -> Multiply idiom, used as an audio pitch
+    shifter (145.45_digital_signal_to_audio.cpp:538-546: shift by -800 Hz,
+    then low-pass one of the two images).  Real in, real out; the +/-f
+    images are both produced, so follow with a lowpass.  Same drift-free
+    uint32 NCO phase as FreqShift."""
+
+    in_dtype = jnp.float32
+    out_dtype = jnp.float32
+
+    def __init__(self, sample_rate: float, frequency: float, initial_phase: float = 0.0):
+        self.sample_rate = float(sample_rate)
+        self.frequency = float(frequency)
+        self.inc = osc.freq_to_inc_u32(frequency, sample_rate)
+        self.initial_phase = float(initial_phase)
+
+    def init_state(self, batch_shape=()):
+        return osc.init_phase(self.initial_phase)
+
+    def apply(self, state, x):
+        lo = osc.cosine_block(state, self.inc, x.shape[-1])
+        return osc.advance_phase(state, self.inc, x.shape[-1]), x * lo
+
+    def shift_state(self, state, offset_samples):
+        off = jnp.asarray(offset_samples).astype(jnp.uint32)
+        return state + jnp.uint32(self.inc) * off
+
+    def advance_state(self, state, num_samples: int):
+        return osc.advance_phase(state, self.inc, num_samples)
+
+    def _params_updated(self, names: frozenset) -> None:
+        if names & {"frequency", "sample_rate"}:
+            self.inc = osc.freq_to_inc_u32(self.frequency, self.sample_rate)
+
+
+@register_block("FreqShiftFir")
+class FreqShiftFir(Block):
+    """Frequency shift folded into a decimating FIR (one MXU pass).
+
+    Equivalent to FreqShift(fs, f) -> Fir(taps, D), with the full-rate
+    oscillator + multiply eliminated: modulating the (compile-time) taps
+    moves the shift into the banded tap matrix,
+
+        y[m] = e^{j theta(mD)} * sum_k (h_rev[k] e^{j k w}) x[mD + k],
+
+    so the only remaining full-rate op is the FIR contraction itself and
+    the output rotation runs at the decimated rate (1/D of the work).
+    Phase is the same drift-free uint32 NCO as FreqShift (exact across
+    blocks and shards).  Precedent for fusing these stages: the
+    reference's gsdrFmDemod front end (fm_simpletest.cpp:400-414).
+    """
+
+    out_dtype = jnp.complex64
+
+    def __init__(
+        self,
+        sample_rate: float,
+        frequency: float,
+        taps,
+        decimation: int,
+        initial_phase: float = 0.0,
+        mode: fir.FirMode = "auto",
+    ):
+        taps = np.asarray(taps)
+        if np.iscomplexobj(taps):
+            raise ValueError("FreqShiftFir folds the shift itself; taps must be real")
+        self.sample_rate = float(sample_rate)
+        self.frequency = float(frequency)
+        self.inc = osc.freq_to_inc_u32(frequency, sample_rate)
+        self.taps = taps.astype(np.float32)
+        self.decimation = int(decimation)
+        self.down = self.decimation
+        self.mode = mode
+        self.initial_phase = float(initial_phase)
+        self.history = len(self.taps) - 1
+
+    def _mod_taps(self):
+        """taps[j] * e^{j theta(T-1-j)} — angles from the exact uint32
+        accumulator, evaluated in float64 (compile-time constants)."""
+        from tpusdr.ops import cplx as _cplx
+
+        T = len(self.taps)
+        k = (T - 1 - np.arange(T)) * int(self.inc) % (1 << 32)
+        ang = k.astype(np.float64) * (2.0 * np.pi / 2.0**32)
+        return _cplx.Complex(
+            jnp.asarray((self.taps * np.cos(ang)).astype(np.float32)),
+            jnp.asarray((self.taps * np.sin(ang)).astype(np.float32)),
+        )
+
+    def init_state(self, batch_shape=()):
+        from tpusdr.ops import cplx as _cplx
+
+        T = len(self.taps)
+        # phase of the first history sample: T-1 zeros precede the stream.
+        back = (int(osc.init_phase(self.initial_phase)) - int(self.inc) * (T - 1)) % (
+            1 << 32
+        )
+        return {
+            "tail": _cplx.zeros(tuple(batch_shape) + (T - 1,)),
+            "phase": jnp.uint32(back),
+        }
+
+    def apply(self, state, x):
+        from tpusdr.ops import cplx as _cplx
+
+        xp = _cplx.ensure_pair(x)
+        ext = _cplx.concat([state["tail"], xp], axis=-1)
+        v = fir.fir_extended(ext, self._mod_taps(), self.decimation, self.mode)
+        rot = osc.complex_cosine_block(
+            state["phase"],
+            np.uint32(int(self.inc) * self.decimation % (1 << 32)),
+            v.shape[-1],
+        )
+        y = v * rot
+        n = x.shape[-1]
+        new_state = {
+            "tail": ext[..., ext.shape[-1] - (len(self.taps) - 1) :],
+            "phase": state["phase"] + jnp.uint32(int(self.inc) * n % (1 << 32)),
+        }
+        return new_state, _cplx.maybe_native(y, x)
+
+    def shift_state(self, state, offset_samples):
+        off = jnp.asarray(offset_samples).astype(jnp.uint32)
+        return {
+            "tail": state["tail"],
+            "phase": state["phase"] + jnp.uint32(self.inc) * off,
+        }
+
+    def advance_state(self, state, num_samples: int):
+        return {
+            "tail": state["tail"],
+            "phase": state["phase"]
+            + jnp.uint32(int(self.inc) * num_samples % (1 << 32)),
+        }
+
+    def _params_updated(self, names: frozenset) -> None:
+        if names & {"frequency", "sample_rate"}:
+            self.inc = osc.freq_to_inc_u32(self.frequency, self.sample_rate)
+        if "taps" in names:
+            self.taps = np.asarray(self.taps, np.float32)
+            self.history = len(self.taps) - 1
 
 
 @register_block("FusedFmDemod")

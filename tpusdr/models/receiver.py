@@ -23,10 +23,12 @@ from dataclasses import dataclass
 from fractions import Fraction
 
 from tpusdr.graph.blocks import (
+    CosineMix,
     DcBlock,
     Deemphasis,
     Fir,
     FreqShift,
+    FreqShiftFir,
     IqToComplex,
     QuadAmDemod,
     QuadFmDemod,
@@ -80,6 +82,43 @@ def _rational(from_rate: float, to_rate: float, limit: int = 1000) -> tuple[int,
     return fr.numerator, fr.denominator
 
 
+def _shift_and_fir_stages(
+    rf_sample_rate: float,
+    freq_offset: float,
+    rf_stages,
+    fir_mode: str,
+    fold_shift: bool,
+) -> list[tuple[str, object]]:
+    """Front-end blocks: frequency shift + RF decimation cascade.
+
+    With ``fold_shift`` (default), the shift is folded into stage 1's tap
+    matrix (FreqShiftFir): the full-rate NCO + multiply HBM pass vanishes
+    and the rotation runs post-decimation.  Falls back to the explicit
+    FreqShift block when there is no shift or folding is disabled.
+    """
+    blocks: list[tuple[str, object]] = []
+    t1, d1 = rf_stages[0]
+    single = len(rf_stages) == 1
+    if freq_offset and fold_shift:
+        name = "shiftfir" if single else "shiftfir1"
+        blocks.append(
+            (name, FreqShiftFir(rf_sample_rate, -freq_offset, t1, d1, mode=fir_mode))
+        )
+        rest = rf_stages[1:]
+        start = 2
+    else:
+        if freq_offset:
+            blocks.append(("shift", FreqShift(rf_sample_rate, -freq_offset)))
+        rest = rf_stages
+        start = 1
+        if single:
+            blocks.append(("rf_fir", Fir(t1, d1, "FloatComplex", fir_mode)))
+            return blocks
+    for i, (t, d) in enumerate(rest, start):
+        blocks.append((f"rf_fir{i}", Fir(t, d, "FloatComplex", fir_mode)))
+    return blocks
+
+
 def fm_receiver(
     rf_sample_rate: float,
     freq_offset: float = 0.0,
@@ -93,6 +132,7 @@ def fm_receiver(
     fir_mode: str = "auto",
     use_fused: bool = False,
     multistage: bool = True,
+    fold_shift: bool = True,
 ) -> tuple[Chain, ReceiverSpec]:
     """Build a WBFM/NBFM receiver chain.
 
@@ -150,13 +190,11 @@ def fm_receiver(
             )
         )
     else:
-        if freq_offset:
-            blocks.append(("shift", FreqShift(rf_sample_rate, -freq_offset)))
-        if len(rf_stages) == 1:
-            blocks.append(("rf_fir", Fir(rf_taps, d1, "FloatComplex", fir_mode)))
-        else:
-            for i, (t, d) in enumerate(rf_stages, 1):
-                blocks.append((f"rf_fir{i}", Fir(t, d, "FloatComplex", fir_mode)))
+        blocks.extend(
+            _shift_and_fir_stages(
+                rf_sample_rate, freq_offset, rf_stages, fir_mode, fold_shift
+            )
+        )
         blocks.append(("demod", QuadFmDemod(gain=gain)))
     if deemphasis_tau:
         blocks.append(("deemph", Deemphasis(quad_rate, deemphasis_tau)))
@@ -199,6 +237,7 @@ def am_receiver(
     fir_mode: str = "auto",
     audio_band: tuple[float, float] | None = None,
     multistage: bool = True,
+    fold_shift: bool = True,
 ) -> tuple[Chain, ReceiverSpec]:
     """AM envelope receiver (the am_test.cpp:435 chain: shift -> lowpass
     decim -> QuadAmDemod -> carrier-bias removal -> audio filtering).
@@ -226,13 +265,11 @@ def am_receiver(
     blocks: list[tuple[str, object]] = []
     if input_format != "cf32":
         blocks.append(("iq", IqToComplex(input_format)))
-    if freq_offset:
-        blocks.append(("shift", FreqShift(rf_sample_rate, -freq_offset)))
-    if len(rf_stages) == 1:
-        blocks.append(("rf_fir", Fir(rf_stages[0][0], d1, "FloatComplex", fir_mode)))
-    else:
-        for i, (t, d) in enumerate(rf_stages, 1):
-            blocks.append((f"rf_fir{i}", Fir(t, d, "FloatComplex", fir_mode)))
+    blocks.extend(
+        _shift_and_fir_stages(
+            rf_sample_rate, freq_offset, rf_stages, fir_mode, fold_shift
+        )
+    )
     blocks.append(("demod", QuadAmDemod()))
     # Strip the carrier level (the AddConstToVectorLength role in the
     # am_test chain) with a DC blocker — no carrier amplitude needed.
@@ -257,6 +294,109 @@ def am_receiver(
         resampler=(up, down),
         quad_gain=1.0,
         rf_stages=tuple((len(t), d) for t, d in rf_stages),
+    )
+    return chain, spec
+
+
+def digital_receiver(
+    rf_sample_rate: float = 1e6,
+    tuned_frequency: float = 145e6,
+    channel_frequency: float = 145.45e6,
+    rf_decimation: int = 12,
+    audio_decimation: int = 10,
+    channel_width: float = NBFM_CHANNEL_WIDTH,
+    deviation: float = NBFM_DEVIATION,
+    pitch_shift: float = -800.0,
+    audio_band: tuple[float, float] = (975.0, 1950.0),
+    db_attenuation: float = -60.0,
+    input_format: str = "cf32",
+    fir_mode: str = "auto",
+    fold_shift: bool = True,
+) -> tuple[Chain, ReceiverSpec]:
+    """The 145.45 digital-signal app chain, with its own design policy
+    (/root/reference/src/applications/145.45_digital_signal_to_audio.cpp):
+
+      * explicit rf/audio decimations (:489-491), not rate-derived;
+      * RF lowpass: cutoff cw/2, transition = min(cw/4, fs/2 - cw/2),
+        validity gate cw <= 0.95 * fs/2 (:347-357);
+      * quad demod gain computed at the *RF* rate with the deviation
+        (QuadDemodFactory.h:92 receives rfSampleRate, :423) — the app's
+        own convention, 12x hotter than the RfToPcm one;
+      * audio lowpass: cutoff/transition at 0.95/0.05 of the output
+        Nyquist (:425-426); no de-emphasis (digital voice);
+      * audio band-pass 975-1950 Hz (:527-537), real-cosine pitch shift
+        by -800 Hz with its channel lowpass (cw 3 kHz, :538-546), and a
+        final 2 kHz lowpass (:547-556).
+    """
+    fs = rf_sample_rate
+    max_cut = fs / 2.0 * 0.95
+    if channel_width > max_cut:
+        raise ValueError(
+            f"sample rate {fs} too low for channel width {channel_width}: "
+            f"need fs >= {channel_width / 0.95 * 2.0} (.cpp:347-355)"
+        )
+    cutoff = channel_width / 2.0
+    transition = min(channel_width / 4.0, fs / 2.0 - cutoff)
+    rf_taps = design.lowpass_taps(fs, cutoff, transition, db_attenuation)
+
+    quad_rate = fs / rf_decimation
+    audio_rate = float(int(fs / rf_decimation / audio_decimation))  # size_t parity
+    audio_cut = audio_rate / 2.0 * 0.95
+    audio_trans = audio_rate / 2.0 * 0.05
+    audio_taps = design.lowpass_taps(quad_rate, audio_cut, audio_trans, db_attenuation)
+
+    gain = demod.quad_fm_demod_gain(fs, deviation)
+    offset = channel_frequency - tuned_frequency
+
+    blocks: list[tuple[str, object]] = []
+    if input_format != "cf32":
+        blocks.append(("iq", IqToComplex(input_format)))
+    blocks.extend(
+        _shift_and_fir_stages(fs, offset, [(rf_taps, rf_decimation)], fir_mode, fold_shift)
+    )
+    blocks.append(("demod", QuadFmDemod(gain=gain)))
+    blocks.append(("audio_lp", Fir(audio_taps, audio_decimation, "Float", fir_mode)))
+    lo, hi = audio_band
+    bp = design.bandpass_taps(
+        audio_rate, lo, hi, transition_width=100.0, db_attenuation=db_attenuation
+    )
+    blocks.append(("audio_bp", Fir(bp, 1, "Float", fir_mode)))
+    if pitch_shift:
+        ps_cw = 3000.0
+        ps_taps = design.lowpass_taps(
+            audio_rate,
+            ps_cw / 2.0,
+            min(ps_cw / 4.0, audio_rate / 2.0 - ps_cw / 2.0),
+            db_attenuation,
+        )
+        blocks.append(("pitch", CosineMix(audio_rate, pitch_shift)))
+        blocks.append(("pitch_lp", Fir(ps_taps, 1, "Float", fir_mode)))
+        post = design.lowpass_taps(audio_rate, 2000.0, 100.0, db_attenuation)
+        blocks.append(("post_lp", Fir(post, 1, "Float", fir_mode)))
+
+    chain = Chain(blocks)
+    spec = ReceiverSpec(
+        rf_sample_rate=fs,
+        channel_width=channel_width,
+        rf_decimation=rf_decimation,
+        quad_rate=quad_rate,
+        audio_rate=audio_rate,
+        rf_taps=len(rf_taps),
+        resampler=(1, audio_decimation),
+        quad_gain=gain,
+        rf_stages=((len(rf_taps), rf_decimation),),
+    )
+    log.info(
+        "digital receiver: fs=%.3g offset=%.3g, RF (%d taps, /%d) -> quad %.3g "
+        "-> audio %.5g Hz (bp %s, pitch %+g Hz)",
+        fs,
+        offset,
+        len(rf_taps),
+        rf_decimation,
+        quad_rate,
+        audio_rate,
+        audio_band,
+        pitch_shift,
     )
     return chain, spec
 

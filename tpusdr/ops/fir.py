@@ -14,15 +14,19 @@ On TPU the retained history is not a relocatable GPU buffer
 ``T-1`` samples, which doubles as the overlap-save halo under time-block
 sharding (SURVEY.md section 5, "long-context analog").
 
-Three execution paths, selectable per call site (``mode``):
-  * 'conv'  — jax.lax.conv_general_dilated with window stride D.  XLA picks
-              the schedule; good default for short/medium taps.
-  * 'poly'  — polyphase frames + einsum: taps zero-padded to P*D, input
-              viewed as (frames, D) non-overlapping blocks, output
-              y[m] = sum_p X[m+p] . H[p].  Maps onto VPU/MXU reductions with
-              no T-fold im2col blowup (duplication factor is T/D).
-  * 'fft'   — frequency-domain convolution for long taps (the reference has
-              no FFT path at all; this is a capability win).
+Execution paths, selectable per call site (``mode``):
+  * 'mxu'   — banded matmul on the systolic array (the default): c
+              consecutive outputs share one row of input window, so the
+              decimating FIR y[r*c+j] = sum_k h_rev[k] x[r*c*D + j*D + k]
+              is a dense (rows, K) x (K, c) contraction against a
+              compile-time-constant banded tap matrix.  HBM traffic is
+              ~1 read of the signal (window overlap (T-D)/(c*D)); the MACs
+              ride the 128x128 MXU instead of lane-padded VPU adds.
+  * 'conv'  — jax.lax.conv_general_dilated with window stride D.
+  * 'poly'  — polyphase frames + accumulated slice-einsum on the VPU
+              (y[m] = sum_p X[m+p] . H[p] over (frames, D) blocks).
+  * 'fft'   — segmented overlap-save convolution on the matmul-DFT for
+              long taps (the reference has no FFT path at all).
 
 All paths operate on the last axis and broadcast over leading batch axes
 (used by the polyphase channelizer and multi-channel demod banks).
@@ -34,6 +38,7 @@ Complex data / real taps (the dominant SDR case, gsdrFirFC) is computed as a
 from __future__ import annotations
 
 import functools
+import os
 from typing import Literal
 
 import numpy as np
@@ -44,13 +49,22 @@ from jax import lax
 
 from tpusdr.ops import cplx
 from tpusdr.ops import fft as mmfft
-from tpusdr.utils.numerics import cdiv, next_pow2
+from tpusdr.utils.numerics import cdiv, next_pow2, round_up
 
-FirMode = Literal["auto", "conv", "poly", "fft"]
+FirMode = Literal["auto", "mxu", "conv", "poly", "fft"]
 
-# Tap count above which the FFT path usually wins (tuned on TPU v5e, see
-# benchmarks/fir_mode_sweep).
-_FFT_THRESHOLD = 256
+# Minimum output count for the banded-matmul path to pay for its tile
+# padding; tiny blocks stay on the fused VPU path.
+_MXU_MIN_OUTPUTS = 16
+
+#: MXU accumulation precision for the banded-matmul path.  HIGHEST (bf16x6)
+#: is float32-faithful; HIGH (bf16x3) measured within -120 dB of it on the
+#: production tap sets and ~1.8x faster (benchmarks/fir_mxu_probe.py).
+_MXU_PRECISION = {
+    "default": lax.Precision.DEFAULT,
+    "high": lax.Precision.HIGH,
+    "highest": lax.Precision.HIGHEST,
+}[os.environ.get("TPUSDR_FIR_PRECISION", "highest")]
 
 
 def num_outputs(available: int, num_taps: int, decimation: int) -> int:
@@ -106,36 +120,43 @@ def fir_extended(
     x_ext = x_ext[..., :usable]
 
     if mode == "auto":
-        # Cost per *input* sample: direct/poly ~ T/D MACs; FFT ~ O(log)
-        # regardless of D.  Decimating filters therefore stay on the
-        # polyphase path unless the per-input work is genuinely large.
-        if T >= _FFT_THRESHOLD and T // D >= 32:
-            mode = "fft"
+        # The banded matmul wins at every production shape measured on v5e
+        # (benchmarks/fir_mxu_probe.py: 4-40x over poly at T>=64); tiny
+        # blocks stay on the fused VPU paths where tile padding dominates.
+        if M >= _MXU_MIN_OUTPUTS:
+            mode = "mxu"
         else:
             mode = "poly" if D > 1 else "conv"
 
     if mode == "fft":
         return _fir_fft_dispatch(x_ext, taps, D, M, pair_in)
 
-    impl = _fir_poly if mode == "poly" else _fir_conv
+    impl = {"poly": _fir_poly, "conv": _fir_conv, "mxu": _fir_mxu}[mode]
 
     if not cplx_x and not cplx_h:  # FF
         return impl(jnp.asarray(x_ext), jnp.asarray(taps), D, M)
 
     proto = x_ext if cplx_x else taps
     xp = cplx.ensure_pair(x_ext) if cplx_x else None
-    hp = cplx.ensure_pair(jnp.asarray(taps)) if cplx_h else None
+    hp = (
+        cplx.ensure_pair(taps if cplx.is_pair(taps) else jnp.asarray(taps))
+        if cplx_h
+        else None
+    )
 
     if cplx_x and not cplx_h:  # FC: filter I and Q as two real channels
         h = jnp.asarray(taps)
         stacked = jnp.stack([xp.re, xp.im], axis=0)
         y = impl(stacked, h, D, M)
         out = cplx.Complex(y[0], y[1])
-    elif cplx_x and cplx_h:  # CC: 3-multiply complex convolution
-        k1 = impl(xp.re + xp.im, hp.re, D, M)
-        k2 = impl(xp.im, hp.re + hp.im, D, M)
-        k3 = impl(xp.re, hp.im - hp.re, D, M)
-        out = cplx.Complex(k1 - k2, k1 + k3)
+    elif cplx_x and cplx_h:  # CC
+        if mode == "mxu":
+            out = _fir_mxu_cc(xp, hp, D, M)
+        else:  # 3-multiply complex convolution
+            k1 = impl(xp.re + xp.im, hp.re, D, M)
+            k2 = impl(xp.im, hp.re + hp.im, D, M)
+            k3 = impl(xp.re, hp.im - hp.re, D, M)
+            out = cplx.Complex(k1 - k2, k1 + k3)
     else:  # CF: real input, complex taps -> complex output (gsdrFirCF)
         x = jnp.asarray(x_ext)
         out = cplx.Complex(impl(x, hp.re, D, M), impl(x, hp.im, D, M))
@@ -191,43 +212,167 @@ def _fir_poly(x: jnp.ndarray, taps: jnp.ndarray, D: int, M: int) -> jnp.ndarray:
     return acc
 
 
-def _fir_fft_dispatch(x, taps, D: int, M: int, pair_in: bool):
-    """Frequency-domain valid convolution, then decimation.
+def _mxu_tile_width(T: int, D: int, M: int) -> int:
+    """Outputs per matmul row-tile.
 
-    Device path (pair inputs): matmul-DFT (ops/fft.py) — no FFT HLO, all
-    MXU.  CPU complex64 path: native jnp.fft.  Circular wraparound is safe
-    because only outputs in [T-1, L-1] are kept and n_fft >= L.
+    c = 128 matches the MXU lane width; for non-decimating long filters a
+    wider tile caps the window-overlap duplication (K/G = 1 + (T-D)/(c*D))
+    at ~2x.  Shrink toward M for short blocks so the row padding stays
+    bounded.
+    """
+    c = max(128, round_up(cdiv(T - D, 2 * D), 128))
+    if M < c:
+        c = round_up(M, 8)
+    return c
+
+
+def _mxu_windows(x: jnp.ndarray, c: int, D: int, T: int, M: int) -> jnp.ndarray:
+    """(..., L) -> (..., rows, K) window matrix A[r, i] = x[r*c*D + i]."""
+    G = c * D
+    K = (c - 1) * D + T
+    n_rows = cdiv(M, c)
+    q = cdiv(T - 1, G)  # extra row-chunks the window tail spans
+    pad = (n_rows + q) * G - x.shape[-1]
+    x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)]).astype(jnp.float32)
+    R = x.reshape(x.shape[:-1] + (n_rows + q, G))
+    parts = [lax.slice_in_dim(R, j, j + n_rows, axis=-2) for j in range(q + 1)]
+    return (jnp.concatenate(parts, axis=-1) if q else parts[0])[..., :K]
+
+
+def _mxu_band(taps: jnp.ndarray, c: int, D: int) -> jnp.ndarray:
+    """Banded tap matrix W[i, j] = h_rev[i - j*D] (zero outside the band);
+    a compile-time constant whenever the taps are."""
+    T = taps.shape[-1]
+    K = (c - 1) * D + T
+    h_rev = jnp.flip(taps).astype(jnp.float32)
+    i_idx = np.arange(K)[:, None] - np.arange(c)[None, :] * D
+    mask = (i_idx >= 0) & (i_idx < T)
+    return jnp.where(
+        jnp.asarray(mask),
+        h_rev[jnp.asarray(np.clip(i_idx, 0, T - 1))],
+        jnp.float32(0.0),
+    )
+
+
+def _mxu_matmul(A: jnp.ndarray, W: jnp.ndarray, M: int) -> jnp.ndarray:
+    y = jnp.einsum("...rk,kc->...rc", A, W, precision=_MXU_PRECISION)
+    return y.reshape(y.shape[:-2] + (-1,))[..., :M]
+
+
+def _fir_mxu(x: jnp.ndarray, taps: jnp.ndarray, D: int, M: int) -> jnp.ndarray:
+    """Banded-matmul path: the decimating FIR as a dense MXU contraction.
+
+    Outputs are tiled c at a time: row r of the window matrix A holds the
+    G + T - D input samples (G = c*D) that feed outputs [r*c, (r+1)*c);
+    A[r, i] = x[r*G + i].  The banded tap matrix W[i, j] = h_rev[i - j*D]
+    (zero outside the band) is a constant folded at compile time, so
+    y = A @ W is one (rows, K) x (K, c) matmul — this is the gsdrFirFC hot
+    loop (/root/reference/src/filters/Fir.cpp:230-268) restated for a
+    systolic array.  FLOP overhead vs the polyphase optimum is K/T; HBM
+    duplication is K/G (~1.08 at the WBFM RF stage).
+    """
+    T = taps.shape[-1]
+    c = _mxu_tile_width(T, D, M)
+    A = _mxu_windows(x, c, D, T, M)
+    return _mxu_matmul(A, _mxu_band(taps, c, D), M)
+
+
+def _fir_mxu_cc(xp: cplx.Complex, hp: cplx.Complex, D: int, M: int) -> cplx.Complex:
+    """Complex data x complex taps on the MXU.
+
+    Uses the 4-matmul form over two shared window matrices rather than the
+    3-multiply Karatsuba split: the window materialization (K/G-duplicated
+    signal reads) dominates over MXU FLOPs, and Karatsuba would build a
+    third window tensor (re+im).
+    """
+    T = hp.shape[-1]
+    c = _mxu_tile_width(T, D, M)
+    Ar = _mxu_windows(xp.re, c, D, T, M)
+    Ai = _mxu_windows(xp.im, c, D, T, M)
+    Wr = _mxu_band(hp.re, c, D)
+    Wi = _mxu_band(hp.im, c, D)
+    return cplx.Complex(
+        _mxu_matmul(Ar, Wr, M) - _mxu_matmul(Ai, Wi, M),
+        _mxu_matmul(Ar, Wi, M) + _mxu_matmul(Ai, Wr, M),
+    )
+
+
+def _fft_segment_plan(T: int, D: int, M: int) -> tuple[int, int, int]:
+    """(n_fft, hop, n_segments) for overlap-save.
+
+    Fixed-size segments (~8x taps, clamped) bound the transform cost at
+    O(n_fft * (n1 + n2)) MACs per hop samples regardless of block length —
+    the round-1 whole-block next_pow2(L) transform made a 4M-sample tick
+    pay a 4M-point DFT (VERDICT weak #3).  hop is a multiple of D so the
+    decimation grid aligns across segment boundaries.
+    """
+    n_fft = min(max(next_pow2(8 * T), 1024), 1 << 15)
+    while n_fft - T + 1 < D:  # hop must be >= D
+        n_fft *= 2
+    hop = ((n_fft - T + 1) // D) * D
+    n_seg = cdiv(M * D, hop)
+    return n_fft, hop, n_seg
+
+
+def _overlapping_segments(x: jnp.ndarray, hop: int, n_fft: int, n_seg: int):
+    """(..., L) -> (..., n_seg, n_fft) with A[s, i] = x_padded[s*hop + i]."""
+    q = cdiv(n_fft - hop, hop)
+    total = (n_seg + q) * hop
+    pad = total - x.shape[-1]
+    x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, max(0, pad))])
+    R = x.reshape(x.shape[:-1] + (n_seg + q, hop))
+    parts = [lax.slice_in_dim(R, j, j + n_seg, axis=-2) for j in range(q + 1)]
+    return (jnp.concatenate(parts, axis=-1) if q else parts[0])[..., :n_fft]
+
+
+def _fir_fft_dispatch(x, taps, D: int, M: int, pair_in: bool):
+    """Segmented overlap-save convolution, then decimation.
+
+    Device path (pair inputs): batched matmul-DFT over fixed-size segments
+    (ops/fft.py) — no FFT HLO, all MXU.  CPU complex64 path: native
+    jnp.fft over the same segments.  Per segment, circular outputs in
+    [T-1, n_fft) are linear; hop of them are kept, so concatenated
+    segments reproduce the valid convolution exactly.
     """
     T = np.shape(taps)[-1] if not isinstance(taps, cplx.Complex) else taps.shape[-1]
-    L = x.shape[-1]
-    n_fft = next_pow2(L)
+    n_fft, hop, n_seg = _fft_segment_plan(T, D, M)
+    m_per_seg = hop // D
 
     if pair_in:
         xp = cplx.ensure_pair(x)
         hp = cplx.ensure_pair(taps if isinstance(taps, cplx.Complex) else jnp.asarray(taps))
-        pad = [(0, 0)] * (xp.ndim - 1) + [(0, n_fft - L)]
-        xp = cplx.Complex(jnp.pad(xp.re, pad), jnp.pad(xp.im, pad))
         hpad = [(0, n_fft - T)]
-        hp = cplx.Complex(jnp.pad(hp.re, hpad), jnp.pad(hp.im, hpad))
-        Y = mmfft.dft(xp) * mmfft.dft(hp)
-        y = mmfft.idft(Y)
-        valid = cplx.Complex(
-            lax.slice_in_dim(y.re, T - 1, T - 1 + M * D, axis=-1),
-            lax.slice_in_dim(y.im, T - 1, T - 1 + M * D, axis=-1),
+        H = mmfft.dft(cplx.Complex(jnp.pad(hp.re, hpad), jnp.pad(hp.im, hpad)))
+        A = cplx.Complex(
+            _overlapping_segments(xp.re, hop, n_fft, n_seg),
+            _overlapping_segments(xp.im, hop, n_fft, n_seg),
         )
-        return valid[..., ::D] if D > 1 else valid
+        y = mmfft.idft(mmfft.dft(A) * H)
+        valid = cplx.Complex(
+            lax.slice_in_dim(y.re, T - 1, T - 1 + hop, axis=-1),
+            lax.slice_in_dim(y.im, T - 1, T - 1 + hop, axis=-1),
+        )
+        if D > 1:
+            valid = valid.reshape(valid.shape[:-1] + (m_per_seg, D))[..., 0]
+        out = valid.reshape(valid.shape[:-2] + (n_seg * m_per_seg,))
+        return out[..., :M]
 
     complex_io = jnp.iscomplexobj(x) or jnp.iscomplexobj(taps)
+    A = _overlapping_segments(
+        x.astype(jnp.complex64 if complex_io else jnp.float32), hop, n_fft, n_seg
+    )
     if complex_io:
-        X = jnp.fft.fft(x.astype(jnp.complex64), n=n_fft, axis=-1)
+        X = jnp.fft.fft(A, axis=-1)
         H = jnp.fft.fft(jnp.asarray(taps).astype(jnp.complex64), n=n_fft)
         y = jnp.fft.ifft(X * H, axis=-1)
     else:
-        X = jnp.fft.rfft(x.astype(jnp.float32), n=n_fft, axis=-1)
+        X = jnp.fft.rfft(A, axis=-1)
         H = jnp.fft.rfft(jnp.asarray(taps).astype(jnp.float32), n=n_fft)
         y = jnp.fft.irfft(X * H, n=n_fft, axis=-1)
-    valid = lax.slice_in_dim(y, T - 1, T - 1 + M * D, axis=-1)
-    out = valid[..., ::D] if D > 1 else valid
+    valid = lax.slice_in_dim(y, T - 1, T - 1 + hop, axis=-1)
+    if D > 1:
+        valid = valid.reshape(valid.shape[:-1] + (m_per_seg, D))[..., 0]
+    out = valid.reshape(valid.shape[:-2] + (n_seg * m_per_seg,))[..., :M]
     if not complex_io:
         return out.astype(jnp.float32)
     return out.astype(jnp.complex64)

@@ -38,6 +38,66 @@ def trace(logdir: str = "/tmp/tpusdr_trace"):
         log.info("profiler trace written to %s", logdir)
 
 
+def scan_marginal(
+    run,
+    state0,
+    xs,
+    ks: tuple[int, ...] = (2, 6, 12),
+    reps: int = 5,
+    max_spread: float = 0.35,
+    retries: int = 2,
+) -> dict:
+    """Marginal per-tick seconds of ``run(state, xs[:k])`` via >= 3 scan
+    lengths and the median of all pairwise slopes.
+
+    On this box each dispatch through the TPU tunnel costs ~40 ms, so
+    dispatch-loop timings are garbage (CLAUDE.md); scanning K ticks inside
+    one jit amortizes the dispatch and the K1->K2->K3 slope isolates the
+    per-tick cost.  Returns {'per_tick', 'spread', 'slopes', 'times'};
+    raises RuntimeError (fail loudly, no silent clamping) if the pairwise
+    slopes disagree by more than ``max_spread`` after ``retries``
+    re-measurements or the slope is non-positive.
+    """
+    assert len(ks) >= 3, "need >= 3 scan lengths for a robust slope"
+
+    def sync(ys) -> None:
+        # On the axon backend block_until_ready can return before the
+        # computation finishes (probed 2026-08-18: 0.3 ms "waits" followed
+        # by 17 s host fetches); only a host transfer reliably joins the
+        # stream.  Fetch one element of one output leaf — it depends on the
+        # whole program, and its ~40 ms transfer latency is identical at
+        # every scan length, so it cancels in the slope.
+        leaf = jax.tree_util.tree_leaves(ys)[0]
+        np.asarray(leaf[(0,) * leaf.ndim])
+
+    def timed(k: int) -> float:
+        s, ys = run(state0, jax.tree.map(lambda a: a[:k], xs))
+        sync(ys)
+        t0 = time.perf_counter()
+        s, ys = run(state0, jax.tree.map(lambda a: a[:k], xs))
+        sync(ys)
+        return time.perf_counter() - t0
+
+    last_err = None
+    for _ in range(retries + 1):
+        times = {k: min(timed(k) for _ in range(reps)) for k in ks}
+        slopes = sorted(
+            (times[b] - times[a]) / (b - a)
+            for i, a in enumerate(ks)
+            for b in ks[i + 1 :]
+        )
+        med = slopes[len(slopes) // 2]
+        if med <= 0:
+            last_err = f"non-positive marginal slope {med:.3g}s (times={times})"
+            continue
+        spread = (slopes[-1] - slopes[0]) / med
+        if spread > max_spread:
+            last_err = f"slope spread {spread:.1%} > {max_spread:.0%} (times={times})"
+            continue
+        return {"per_tick": med, "spread": spread, "slopes": slopes, "times": times}
+    raise RuntimeError(f"scan_marginal: unstable measurement: {last_err}")
+
+
 def time_block(block, x, iters: int = 10, warmup: int = 2) -> dict:
     """Steady-state samples/s of one Block on the current default device."""
     state = jax.device_put(block.init_state())

@@ -65,11 +65,13 @@ class TestChannelShardedBank:
         assert shd.shape == ref.shape == (8, total // 8 // 2)
         assert_shard_stable(shd, ref)
 
-    def test_channels_must_divide(self):
+    def test_uneven_channels_are_padded(self):
+        """6 channels over 4 devices: dead channels pad to 8, the output
+        drops them (r1 rejected this shape; VERDICT next #8 relaxes it)."""
         mesh = make_mesh(4)
         chanb, demod_chain, _ = build(m=6)
-        with pytest.raises(ValueError, match="divide"):
-            ChannelShardedBank(chanb, demod_chain, mesh)
+        bank = ChannelShardedBank(chanb, demod_chain, mesh)
+        assert bank.m_pad == 8 and bank.local_channels == 2
 
     def test_eight_way(self, rng):
         mesh = make_mesh(8)

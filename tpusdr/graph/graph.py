@@ -106,6 +106,18 @@ class Graph(Block):
             if r is not None:
                 self.up, self.down = r.numerator, r.denominator
 
+        # Composite dtype/channel metadata (the Chain._recompute_plan
+        # analog) so a Graph satisfies the same Block surface the
+        # time-sharding machinery consumes (parallel/halo.py).
+        if self.n_inputs == 1:
+            self.in_dtype = self.nodes[self.input_map[0][1]].in_dtype
+        if len(self.outputs) == 1:
+            self.out_dtype = self.nodes[self.outputs[0]].out_dtype
+        for b in self.nodes.values():
+            if b.adds_channel_axis:
+                self.adds_channel_axis = True
+                self.num_channels = b.num_channels
+
     # ------------------------------------------------------------------
     # construction helpers
     # ------------------------------------------------------------------
@@ -292,6 +304,125 @@ class Graph(Block):
                 f"update of {name!r} changed its rate {old_rate} -> "
                 f"{(b.up, b.down)}; rebuild the graph instead"
             )
+
+    # ------------------------------------------------------------------
+    # time-sharding hooks (parallel/halo.py) — the Chain equivalents
+    # generalized over the DAG via the rate plan
+    # ------------------------------------------------------------------
+
+    def _shard_ratios(self) -> dict[str, tuple[Fraction, Fraction]]:
+        """Per node: (input, output) samples per exposed-input sample,
+        derived from one granule-sized rate plan (single exposed input)."""
+        if self.n_inputs != 1:
+            raise ValueError("time-sharding hooks need exactly one exposed input")
+        g = self.granule
+        plan = self.plan(g)
+        return {
+            n: (Fraction(i, g), Fraction(o, g)) for n, (i, o) in plan.items()
+        }
+
+    @property
+    def history(self) -> int:
+        """Worst-path input-rate lookback (the halo size): max over DAG
+        paths of each node's history rescaled to the exposed-input rate —
+        the Chain.history sum generalized to a max-plus DP over the DAG."""
+        ratios = self._shard_ratios()
+        lb: dict[str, Fraction] = {}
+        best = Fraction(0)
+        for n in self._topo:
+            if n not in ratios:
+                continue
+            b = self.nodes[n]
+            base = max(
+                (lb[e.src] for e in self.incoming[n].values() if e.src in lb),
+                default=Fraction(0),
+            )
+            if isinstance(b, SourceBlock):
+                lb[n] = base  # closed-form state: no lookback needed
+            else:
+                lb[n] = base + Fraction(b.history, 1) / ratios[n][0]
+            best = max(best, lb[n])
+        return int(best.__ceil__())
+
+    def shift_state(self, state: dict, offset_samples) -> dict:
+        """Closed-form state shift by a traced exposed-input-sample offset,
+        rescaled per node through the rate plan (exact: offsets are granule
+        multiples).  Sources shift by their *output* offset."""
+        o = jnp.asarray(offset_samples, jnp.int32)
+        ratios = self._shard_ratios()
+        new = dict(state)
+        for n, (rin, rout) in ratios.items():
+            b = self.nodes[n]
+            r = rout if isinstance(b, SourceBlock) else rin
+            new[n] = b.shift_state(state[n], (o * r.numerator) // r.denominator)
+        return new
+
+    def advance_state(self, state: dict, num_samples: int) -> dict:
+        ratios = self._shard_ratios()
+        new = dict(state)
+        for n, (rin, rout) in ratios.items():
+            b = self.nodes[n]
+            r = rout if isinstance(b, SourceBlock) else rin
+            new[n] = b.advance_state(
+                state[n], num_samples * r.numerator // r.denominator
+            )
+        return new
+
+    def split_shardable(self) -> tuple["Graph", Any]:
+        """Split into (time-shardable head Graph, sequential tail Chain).
+
+        Non-shardable nodes (IIR — unbounded memory) must form part of a
+        linear suffix ending at the single output; that suffix runs
+        post-gather on the decimated stream (Chain.split_shardable
+        semantics lifted to the DAG)."""
+        if self.n_inputs != 1 or len(self.outputs) != 1:
+            raise ValueError("split_shardable needs 1 exposed input, 1 output")
+        nonshard = {n for n, b in self.nodes.items() if not b.time_shardable}
+        if not nonshard:
+            return self, None
+
+        outgoing: dict[str, list[Edge]] = {n: [] for n in self.nodes}
+        for e in self.edges:
+            outgoing[e.src].append(e)
+        exposed_nodes = {n for (n, _p) in self._exposed}
+
+        # Maximal linear suffix [deepest ... output].
+        suffix = [self.outputs[0]]
+        while True:
+            cur = suffix[-1]
+            inc = list(self.incoming[cur].values())
+            if (
+                len(inc) != 1
+                or cur in exposed_nodes
+                or len(outgoing[inc[0].src]) != 1
+                or isinstance(self.nodes[inc[0].src], SourceBlock)
+                or inc[0].src in exposed_nodes
+            ):
+                break
+            suffix.append(inc[0].src)
+        suffix.reverse()
+
+        # Tail starts at the first non-shardable node of the suffix; every
+        # non-shardable node must land inside the tail.
+        starts = [i for i, n in enumerate(suffix) if n in nonshard]
+        if not starts or not nonshard <= set(suffix[starts[0] :]):
+            raise ValueError(
+                f"non-shardable nodes {sorted(nonshard)} are not a linear "
+                "suffix of the graph; cannot time-shard"
+            )
+        tail_names = suffix[starts[0] :]
+        from tpusdr.graph.chain import Chain
+
+        tail = Chain([(n, self.nodes[n]) for n in tail_names])
+        head_output = list(self.incoming[tail_names[0]].values())[0].src
+        tail_set = set(tail_names)
+        head = Graph(
+            {n: b for n, b in self.nodes.items() if n not in tail_set},
+            [e for e in self.edges if e.src not in tail_set and e.dst not in tail_set],
+            self.input_map,
+            head_output,
+        )
+        return head, tail
 
     # ------------------------------------------------------------------
     # execution

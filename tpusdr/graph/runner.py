@@ -120,7 +120,13 @@ class StreamRunner:
         for i, raw in enumerate(source):
             if max_blocks is not None and i >= max_blocks:
                 break
-            if np.iscomplexobj(raw):
+            if cplx.is_pair(raw):
+                # host-side pair (native deinterleave path): upload planes
+                x = cplx.Complex(
+                    jax.device_put(raw.re, self.device),
+                    jax.device_put(raw.im, self.device),
+                )
+            elif np.iscomplexobj(raw):
                 # The device path is pair-native (no complex dtype on TPU):
                 # split on the host, upload two float planes.
                 x = cplx.Complex(

@@ -182,7 +182,15 @@ class SocketIqSource:
         try:
             while not self._stop.is_set():
                 while len(buf) < nbytes:
-                    chunk = sock.recv(1 << 16)
+                    try:
+                        chunk = sock.recv(1 << 16)
+                    except (TimeoutError, OSError) as e:
+                        # socket died or went silent: end the stream like a
+                        # device unplug (the consumer's own q.get timeout is
+                        # the HackrfSource 5 s read-timeout analog)
+                        log.warning("socket ingest reader stopped: %s", e)
+                        self._q.put(None)
+                        return
                     if not chunk:
                         self._q.put(None)
                         return

@@ -28,7 +28,7 @@ import json
 import numpy as np
 
 
-def _measure_chain(chain, xs_np, ks=(2, 5, 8)) -> dict:
+def _measure_chain(chain, xs_np, ks=(8, 32, 64)) -> dict:
     """Marginal per-tick seconds of chain.apply under lax.scan."""
     import jax
     from jax import lax
@@ -62,8 +62,11 @@ def config1() -> dict:
     from tpusdr.graph import blocks as B
     from tpusdr.utils.profiling import scan_marginal
 
+    # The chain runs a 1M-sample tick in ~0.2 ms, so the scan lengths must
+    # stretch far enough for the slope to clear the tunnel's multi-ms
+    # dispatch jitter (k=2..8 measured flat at ~25 ms: pure overhead).
     n1 = 1 << 20
-    ks = (2, 5, 8)
+    ks = (16, 128, 256)
     osc_b = B.CosineSource(20e6, 1.25e6, "FloatComplex")
     fir_b = B.Fir(sps.firwin(64, 0.2).astype(np.float32), 1)
     mag_b = B.Magnitude()
@@ -97,9 +100,9 @@ def config2() -> dict:
 
     rng = np.random.default_rng(0)
     chain, _ = receiver.am_receiver(10e6, 1.25e6, input_format="int8")
-    tick = chain.granule * max(1, (1 << 22) // chain.granule)
+    tick = chain.granule * max(1, (1 << 21) // chain.granule)
     xs = _stack_ticks(
-        lambda: rng.integers(-128, 128, size=tick, dtype=np.int8), 8
+        lambda: rng.integers(-128, 128, size=tick, dtype=np.int8), 64
     )
     m = _measure_chain(chain, xs)
     return {
@@ -118,10 +121,10 @@ def _wbfm(use_fused: bool) -> dict:
     chain, _ = receiver.fm_receiver(
         20e6, 2.5e6, receiver.WBFM, 48000.0, use_fused=use_fused
     )
-    tick = chain.granule * max(1, (1 << 22) // chain.granule)
+    tick = chain.granule * max(1, (1 << 21) // chain.granule)
     xs = cplx.Complex(
-        _stack_ticks(lambda: rng.standard_normal(tick).astype(np.float32), 8),
-        _stack_ticks(lambda: rng.standard_normal(tick).astype(np.float32), 8),
+        _stack_ticks(lambda: rng.standard_normal(tick).astype(np.float32), 64),
+        _stack_ticks(lambda: rng.standard_normal(tick).astype(np.float32), 64),
     )
     m = _measure_chain(chain, xs)
     v = round(tick / m["per_tick"] / 1e6, 2)
@@ -148,10 +151,10 @@ def config4() -> dict:
 
     rng = np.random.default_rng(0)
     chain, _ = multichannel.fm_channel_bank(20.48e6, 64, 16000.0)
-    tick = chain.granule * max(1, (1 << 22) // chain.granule)
+    tick = chain.granule * max(1, (1 << 21) // chain.granule)
     xs = cplx.Complex(
-        _stack_ticks(lambda: rng.standard_normal(tick).astype(np.float32), 8),
-        _stack_ticks(lambda: rng.standard_normal(tick).astype(np.float32), 8),
+        _stack_ticks(lambda: rng.standard_normal(tick).astype(np.float32), 64),
+        _stack_ticks(lambda: rng.standard_normal(tick).astype(np.float32), 64),
     )
     m = _measure_chain(chain, xs)
     return {

@@ -13,4 +13,10 @@ registry, JSON Component builder — SURVEY.md sections 2.5-2.8) with:
 
 from tpusdr.graph.block import Block, SourceBlock  # noqa: F401
 from tpusdr.graph.chain import Chain  # noqa: F401
+from tpusdr.graph.queues import (  # noqa: F401
+    CommandQueue,
+    MergedRunner,
+    QueueRegistry,
+    get_queue_registry,
+)
 from tpusdr.graph.registry import get_registry, register_block  # noqa: F401

@@ -66,8 +66,19 @@ class StreamRunner:
         donate_state: bool = True,
         pipeline_depth: int = 2,
         device=None,
+        queue=None,
     ):
+        """``queue``: a CommandQueue or registered queue name (graph/queues
+        .py — the reference's named ICudaCommandQueue surface); it selects
+        the device when ``device`` is not given explicitly."""
         self.block = block
+        if queue is not None and device is None:
+            from tpusdr.graph.queues import get_queue_registry
+
+            if isinstance(queue, str):
+                queue = get_queue_registry().get(queue)
+            device = queue.device
+        self.queue = queue
         self.device = device
         self.pipeline_depth = pipeline_depth
 

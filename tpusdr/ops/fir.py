@@ -58,8 +58,10 @@ FirMode = Literal["auto", "mxu", "conv", "poly", "fft"]
 _MXU_MIN_OUTPUTS = 16
 
 #: MXU accumulation precision for the banded-matmul path.  HIGHEST (bf16x6)
-#: is float32-faithful; HIGH (bf16x3) measured within -120 dB of it on the
-#: production tap sets and ~1.8x faster (benchmarks/fir_mxu_probe.py).
+#: is float32-faithful (-142 dB vs float64 at the WBFM RF shape) and costs
+#: nothing: the path is window-materialization/HBM-bound, not FLOP-bound —
+#: HIGHEST/HIGH/DEFAULT all measured ~5.5 Gsps on v5e while accuracy spans
+#: -142/-99/-53 dB (benchmarks/fir_precision_probe.py, 2026-08-19).
 _MXU_PRECISION = {
     "default": lax.Precision.DEFAULT,
     "high": lax.Precision.HIGH,
@@ -235,8 +237,19 @@ def _mxu_windows(x: jnp.ndarray, c: int, D: int, T: int, M: int) -> jnp.ndarray:
     pad = (n_rows + q) * G - x.shape[-1]
     x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)]).astype(jnp.float32)
     R = x.reshape(x.shape[:-1] + (n_rows + q, G))
-    parts = [lax.slice_in_dim(R, j, j + n_rows, axis=-2) for j in range(q + 1)]
-    return (jnp.concatenate(parts, axis=-1) if q else parts[0])[..., :K]
+    # Trim each chunk to what the K-window actually uses before the concat
+    # so the materialized width is exactly K, not (q+1)*G (for the
+    # production q=1 shapes the untrimmed concat wrote ~2x the window
+    # bytes).  A chunk's width can be < G (or the chunk entirely unused)
+    # when the window tail barely crosses a row-chunk boundary.
+    parts = []
+    for j in range(q + 1):
+        w = min(G, K - j * G)
+        if w <= 0:
+            break
+        p = lax.slice_in_dim(R, j, j + n_rows, axis=-2)
+        parts.append(p if w == G else p[..., :w])
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
 
 
 def _mxu_band(taps: jnp.ndarray, c: int, D: int) -> jnp.ndarray:

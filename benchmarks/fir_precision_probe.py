@@ -28,8 +28,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    import importlib
-
     import jax
     import scipy.signal as sps
     from jax import lax
@@ -57,14 +55,15 @@ def main() -> None:
         jax.device_put(rng.standard_normal((max(KS), tick)).astype(np.float32)),
     )
 
-    for tier in ("highest", "high", "default"):
-        os.environ["TPUSDR_FIR_PRECISION"] = tier
-        from tpusdr.ops import fir as fir_mod
+    from tpusdr.ops import fir
 
-        fir = importlib.reload(fir_mod)
+    for tier in ("highest", "high", "default"):
+        # precision threads through as a per-call parameter (no module
+        # reload: stale-reference trap, ADVICE r2)
+        prec = getattr(lax.Precision, tier.upper())
 
         # accuracy: one tick vs float64 reference
-        y = fir.fir_full(cplx.from_numpy(sig), taps, D, mode="mxu")
+        y = fir.fir_full(cplx.from_numpy(sig), taps, D, mode="mxu", precision=prec)
         yn = cplx.to_numpy(y)
         m = min(len(yn), len(ref64))
         err = yn[:m] - ref64[:m]
@@ -76,7 +75,7 @@ def main() -> None:
         state0 = jax.device_put(fir.fir_init_state(taps, "pair"))
 
         def step(s, x):
-            return fir.fir_apply(s, x, taps, D, mode="mxu")
+            return fir.fir_apply(s, x, taps, D, mode="mxu", precision=prec)
 
         @jax.jit
         def run(state, xs):

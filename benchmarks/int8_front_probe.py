@@ -1,0 +1,147 @@
+"""Probe: int8 IQ front-end variants on the TPU.
+
+profile_am_stages (2026-08-19, r3) shows the AM chain is bound by the
+IqToComplex int8 stage at ~1.07 Gsps of int8 scalars (~1 GB/s input) —
+150x under nominal HBM — while the MXU FIR behind it runs at 19.9 Gsps.
+This probe measures candidate formulations of
+"interleaved int8 IQ (N,) -> two float32 planes (N/2,)":
+
+  A. current: reshape (N/2, 2) -> bitcast int16 -> shift/split  (convert.py)
+  B. 2-D staging: reshape (R, 1024) int8 -> (R, 512, 2) -> bitcast
+     (R, 512) int16 -> shift/split -> flatten
+  C. host view int16: upload (N/2,) int16 (np.view, free on host),
+     device shift/mask split only
+  D. host view int32: upload (N/4,) int32, split 4 bytes, reassemble via
+     (2, N/4) stacking transposed reshape
+  E. baselines: int8 (N,) -> f32 cast alone; int16 (N/2,) -> f32 cast alone;
+     f32 (N,) -> *2.0 (pure HBM streaming bound)
+
+Each candidate is validated bit-exactly vs numpy before timing.
+
+Run: nohup timeout 1750 python benchmarks/int8_front_probe.py > /tmp/int8_probe.log 2>&1 &
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    SCALE = np.float32(1.0 / 128.0)
+    N = 1 << 22  # int8 scalars per tick (2 MiB)
+    K1, K2 = 8, 40
+    rng = np.random.default_rng(0)
+    x8 = rng.integers(-128, 128, size=N, dtype=np.int8)
+
+    # numpy reference
+    ref_i = x8[0::2].astype(np.float32) * SCALE
+    ref_q = x8[1::2].astype(np.float32) * SCALE
+
+    def var_a(x):  # current convert.py form
+        w = lax.bitcast_convert_type(x.reshape(-1, 2), jnp.int16)
+        i = jnp.right_shift(jnp.left_shift(w, 8), 8)
+        q = jnp.right_shift(w, 8)
+        return i.astype(jnp.float32) * SCALE, q.astype(jnp.float32) * SCALE
+
+    def var_b(x):  # 2-D staging, lane-major rows
+        r = x.shape[-1] // 1024
+        w = lax.bitcast_convert_type(x.reshape(r, 512, 2), jnp.int16)
+        i = jnp.right_shift(jnp.left_shift(w, 8), 8)
+        q = jnp.right_shift(w, 8)
+        return (
+            (i.astype(jnp.float32) * SCALE).reshape(-1),
+            (q.astype(jnp.float32) * SCALE).reshape(-1),
+        )
+
+    def var_c(w):  # input already int16 (host np.view) — flat split
+        i = jnp.right_shift(jnp.left_shift(w, 8), 8)
+        q = jnp.right_shift(w, 8)
+        return i.astype(jnp.float32) * SCALE, q.astype(jnp.float32) * SCALE
+
+    def var_d(w32):  # input int32 (host view): 4-byte split + re-interleave
+        b0 = jnp.right_shift(jnp.left_shift(w32, 24), 24)
+        b1 = jnp.right_shift(jnp.left_shift(w32, 16), 24)
+        b2 = jnp.right_shift(jnp.left_shift(w32, 8), 24)
+        b3 = jnp.right_shift(w32, 24)
+        # i stream = interleave(b0, b2); q = interleave(b1, b3)
+        i = jnp.stack([b0, b2], axis=-1).reshape(-1)
+        q = jnp.stack([b1, b3], axis=-1).reshape(-1)
+        return i.astype(jnp.float32) * SCALE, q.astype(jnp.float32) * SCALE
+
+    def base_cast8(x):
+        return (x.astype(jnp.float32) * SCALE,)
+
+    def base_cast16(w):
+        return (w.astype(jnp.float32) * np.float32(1 / 32768.0),)
+
+    def base_f32(x):
+        return (x * np.float32(2.0),)
+
+    inputs = {
+        "A_bitcast_flat_int8": (var_a, x8),
+        "B_bitcast_2d_int8": (var_b, x8),
+        "C_hostview_int16": (var_c, x8.view(np.int16)),
+        "D_hostview_int32": (var_d, x8.view(np.int32)),
+        "E_cast_int8_only": (base_cast8, x8),
+        "E_cast_int16_only": (base_cast16, x8.view(np.int16)),
+        "E_f32_stream": (base_f32, (x8.astype(np.float32))),
+    }
+
+    # --- validate the deinterleavers bit-exactly on a small slice (CPU-side
+    # fetch; kernel faults only surface on host transfer, CLAUDE.md) --------
+    for name in ("A_bitcast_flat_int8", "B_bitcast_2d_int8", "C_hostview_int16",
+                 "D_hostview_int32"):
+        fn, arr = inputs[name]
+        i, q = jax.jit(fn)(jnp.asarray(arr))
+        np.testing.assert_array_equal(np.asarray(i), ref_i, err_msg=name)
+        np.testing.assert_array_equal(np.asarray(q), ref_q, err_msg=name)
+    print(json.dumps({"validated": True, "n_scalars": N}), flush=True)
+
+    # --- scan-marginal timing ------------------------------------------------
+    for name, (fn, arr) in inputs.items():
+        xs = jnp.asarray(np.stack([arr] * K2))
+
+        @jax.jit
+        def run(c, xs, fn=fn):
+            def step(c, x):
+                outs = fn(x)
+                # keep a dependency so the scan can't elide the body
+                return c + outs[0][..., 0], outs
+            return lax.scan(step, c, xs)
+
+        def timed(k):
+            c, ys = run(jnp.float32(0), xs[:k])
+            np.asarray(jax.tree_util.tree_leaves(ys)[0][(0, 0)])
+            t0 = time.perf_counter()
+            c, ys = run(jnp.float32(0), xs[:k])
+            np.asarray(jax.tree_util.tree_leaves(ys)[0][(0, 0)])
+            return time.perf_counter() - t0
+
+        t1 = min(timed(K1) for _ in range(3))
+        t2 = min(timed(K2) for _ in range(3))
+        per = (t2 - t1) / (K2 - K1)
+        print(
+            json.dumps(
+                {
+                    "variant": name,
+                    "per_tick_ms": round(per * 1e3, 3),
+                    "gsps_int8_scalars": round(N / per / 1e9, 2),
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -72,3 +72,103 @@ class TestFanOut:
         # 1e-5: MXU FIR tile-phase reassociation (see test_graph_chain note).
         np.testing.assert_allclose(np.concatenate(parts_fm), np.asarray(wa), atol=1e-5)
         np.testing.assert_allclose(np.concatenate(parts_mag), np.asarray(wb), atol=1e-5)
+
+
+class TestMultiSinkRunner:
+    """StreamRunner drives a multi-output Graph into one sink per port
+    (the reference's multiple-sinks-per-source-port fan-out,
+    SteppingDriver.cpp:309-362)."""
+
+    def _tapped_fm(self):
+        import scipy.signal as sps
+
+        from tpusdr.graph.chain import Chain
+        from tpusdr.graph.graph import tapped
+
+        taps = sps.firwin(17, 0.3).astype(np.float32)
+        chain = Chain(
+            [
+                ("fir", B.Fir(taps, 2)),
+                ("demod", B.QuadFmDemod(gain=1.0)),
+            ]
+        )
+        return chain, tapped(chain, ["fir"])
+
+    def test_audio_plus_if_in_one_pass(self, rng):
+        from tpusdr.graph.runner import StreamRunner
+        from tpusdr.io.sinks import CollectSink
+
+        chain, g = self._tapped_fm()
+        n = 512
+        blocks = [
+            (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+                np.complex64
+            )
+            for _ in range(3)
+        ]
+        audio_sink, if_sink = CollectSink(), CollectSink()
+        runner = StreamRunner(g, donate_state=False)
+        _, stats = runner.run(iter(blocks), [audio_sink, if_sink])
+
+        # single-sink plain-chain run gives the reference audio stream
+        ref_sink = CollectSink()
+        _, ref_stats = StreamRunner(chain, donate_state=False).run(
+            iter(blocks), ref_sink
+        )
+        np.testing.assert_allclose(
+            audio_sink.result(), ref_sink.result(), atol=1e-5
+        )
+        # the IF tap is the FIR output stream
+        fir = B.Fir(
+            np.asarray(chain.get_block("fir").taps, np.float32), 2
+        )
+        s = fir.init_state()
+        parts = []
+        for b in blocks:
+            s, y = fir.apply(s, cplx.from_numpy(b))
+            parts.append(cplx.to_numpy(y))
+        np.testing.assert_allclose(
+            if_sink.result(), np.concatenate(parts), atol=1e-5
+        )
+        assert stats.samples_out_ports == [
+            audio_sink.samples_written,
+            if_sink.samples_written,
+        ]
+        assert stats.samples_out == audio_sink.samples_written
+
+    def test_sink_count_mismatch_raises(self, rng):
+        from tpusdr.graph.runner import StreamRunner
+        from tpusdr.io.sinks import CollectSink
+
+        _, g = self._tapped_fm()
+        z = (rng.standard_normal(256) + 1j * rng.standard_normal(256)).astype(
+            np.complex64
+        )
+        with pytest.raises(ValueError, match="outputs but 1 sinks"):
+            StreamRunner(g, donate_state=False).run(iter([z]), CollectSink())
+
+    def test_tapped_validates_names(self):
+        from tpusdr.graph.graph import tapped
+
+        chain, _ = self._tapped_fm()
+        with pytest.raises(KeyError, match="no stage named"):
+            tapped(chain, ["nope"])
+        with pytest.raises(ValueError, match="already port 0"):
+            tapped(chain, ["demod"])
+
+    def test_per_port_postprocess(self, rng):
+        from tpusdr.graph.runner import StreamRunner
+        from tpusdr.io.sinks import CollectSink
+
+        _, g = self._tapped_fm()
+        z = (rng.standard_normal(256) + 1j * rng.standard_normal(256)).astype(
+            np.complex64
+        )
+        a, b = CollectSink(), CollectSink()
+        StreamRunner(g, donate_state=False).run(
+            iter([z]), [a, b], postprocess=[lambda x: 2.0 * x, None]
+        )
+        a2, b2 = CollectSink(), CollectSink()
+        StreamRunner(g, donate_state=False).run(iter([z]), [a2, b2])
+        np.testing.assert_allclose(a.result(), 2.0 * a2.result(), atol=1e-6)
+        np.testing.assert_allclose(b.result(), b2.result(), atol=1e-6)

@@ -21,6 +21,18 @@ def rng():
     return np.random.default_rng(11)
 
 
+@pytest.fixture
+def singleton_registry():
+    """Snapshot/restore the process-wide registry so tests that exercise the
+    singleton surface don't leak queues across tests."""
+    reg = get_queue_registry()
+    saved = dict(reg._queues)
+    try:
+        yield reg
+    finally:
+        reg._queues = saved
+
+
 def small_fm_chain():
     return Chain(
         [
@@ -78,6 +90,13 @@ class TestQueueRegistry:
         reg = QueueRegistry()
         with pytest.raises(KeyError, match="unknown command queue"):
             reg.get("nope")
+
+    def test_unknown_queue_type_raises(self):
+        """CommandQueueFactory.cpp:72-75: unknown queueType is NotFound, not
+        a silent fall-through to device 0."""
+        reg = QueueRegistry()
+        with pytest.raises(ValueError, match="unknown queueType"):
+            reg.create("typo", {"queueType": "cudaa"})
 
     def test_process_singleton(self):
         assert get_queue_registry() is get_queue_registry()
@@ -144,10 +163,32 @@ class TestMergedRunner:
         with pytest.raises(ValueError, match="at least one"):
             MergedRunner({})
 
+    def test_queue_places_states_and_inputs(self, rng, singleton_registry):
+        """A queue-bound fleet actually lands on the queue's device: states
+        from init_state() and outputs of step() are committed there, and
+        host-side numpy inputs are accepted (step device_puts them)."""
+        devs = jax.devices()
+        dev = devs[-1]  # non-default when the mesh has > 1 device
+        singleton_registry.create("merged-q", {"queueType": "cpu", "device": dev.id})
+        merged = MergedRunner(
+            {"am": small_am_chain()}, queue="merged-q", donate_state=False
+        )
+        assert merged.device == dev
+        states = merged.init_state()
+        for leaf in jax.tree_util.tree_leaves(states):
+            assert leaf.devices() == {dev}
+        n = 1024
+        z = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+            np.complex64
+        )
+        states, ys = merged.step(states, {"am": cplx.from_numpy(z)})
+        for leaf in jax.tree_util.tree_leaves((states, ys)):
+            assert leaf.devices() == {dev}
+
 
 class TestStreamRunnerQueue:
-    def test_runner_accepts_queue_name(self, rng):
-        get_queue_registry().create("test-stream-q", {"device": 0})
+    def test_runner_accepts_queue_name(self, rng, singleton_registry):
+        singleton_registry.create("test-stream-q", {"device": 0})
         chain = small_am_chain()
         runner = StreamRunner(chain, queue="test-stream-q")
         assert runner.device == jax.devices()[0]

@@ -57,6 +57,13 @@ def main(argv=None) -> int:
                     help="streaming block size target, samples (1 MiB parity)")
     ap.add_argument("--dot", default=None, help="write graph dot file")
     ap.add_argument(
+        "--dump-if",
+        default=None,
+        help="also dump the pre-demod IF stream (complex64 raw) to this "
+        "path — audio + raw IF in one pass (multi-sink fan-out, the "
+        "SteppingDriver.cpp:309-362 role)",
+    )
+    ap.add_argument(
         "--checkpoint", default=None,
         help="save stream state here after the run (resume with --resume)",
     )
@@ -170,12 +177,25 @@ def main(argv=None) -> int:
     else:
         sink = AacFileSink(args.audio, spec.audio_rate)
 
-    runner = StreamRunner(chain)
+    block = chain
+    if args.dump_if:
+        from tpusdr.graph.graph import tapped
+        from tpusdr.io.sinks import RawFileSink
+
+        names = [n for n, _ in chain.blocks]
+        if "demod" not in names:
+            ap.error("--dump-if needs an explicit demod stage (not --fused)")
+        if_tap = names[names.index("demod") - 1]
+        block = tapped(chain, [if_tap])
+        sink = [sink, RawFileSink(args.dump_if, np.complex64)]
+        log.info("dumping IF (tap %r) to %s", if_tap, args.dump_if)
+
+    runner = StreamRunner(block)
     state = None
     if args.resume:
         from tpusdr.graph.checkpoint import load_state
 
-        state = load_state(args.resume, chain.init_state())
+        state = load_state(args.resume, block.init_state())
         log.info("resumed stream state from %s", args.resume)
     state, stats = runner.run(iter(src), sink, state=state, max_blocks=n_blocks)
     if args.checkpoint:
@@ -183,7 +203,8 @@ def main(argv=None) -> int:
 
         save_state(args.checkpoint, state)
         log.info("stream state checkpointed to %s", args.checkpoint)
-    sink.close()
+    for s in sink if isinstance(sink, list) else [sink]:
+        s.close()
 
     print(
         f"{args.mod}: {stats.samples_in/1e6:.2f} M RF samples -> "

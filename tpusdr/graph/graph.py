@@ -526,3 +526,34 @@ def build_graph(spec: Mapping | str) -> Graph:
     if isinstance(output, Mapping):  # {"node": ..., "port": ...} form
         output = output["node"]
     return Graph(nodes, connections, input_map, output)
+
+
+def tapped(chain, taps: Sequence[str]) -> Graph:
+    """Expose intermediate stages of a Chain as extra Graph outputs.
+
+    The reference fans one source port out to multiple sinks with per-port
+    output copiers (SteppingDriver.cpp:309-362); here values are immutable,
+    so a tap is just an extra output reading the same node value.  Output 0
+    is the chain's final output; outputs 1.. are the named taps, in order —
+    feed the resulting Graph to StreamRunner.run with a matching list of
+    sinks (e.g. audio + raw IF in one pass).
+    """
+    from tpusdr.graph.chain import Chain
+
+    if not isinstance(chain, Chain):
+        raise TypeError(f"tapped() wraps a Chain, got {type(chain).__name__}")
+    names = [n for n, _ in chain.blocks]
+    for t in taps:
+        if t not in names:
+            raise KeyError(f"no stage named {t!r} in chain (stages: {names})")
+        if t == names[-1]:
+            raise ValueError(f"{t!r} is the chain output; it is already port 0")
+    connections = [
+        Edge(names[i], 0, names[i + 1], 0) for i in range(len(names) - 1)
+    ]
+    return Graph(
+        dict(chain.blocks),
+        connections,
+        input_map=[(0, names[0], 0)],
+        output=[names[-1], *taps],
+    )

@@ -63,15 +63,28 @@ class CommandQueue:
         return self.device.platform
 
 
+#: queueType spellings accepted in a queue spec: the reference's "cuda"
+#: (CommandQueueFactory.cpp:49-66), plus the platforms this build runs on.
+_KNOWN_QUEUE_TYPES = frozenset({"tpu", "cuda", "gpu", "cpu", "axon"})
+
+
 def _resolve_device(spec: Mapping[str, Any]):
     """Map a queue spec to a jax.Device.
 
     Accepts the reference spelling {"queueType": "cuda", "cudaDevice": N}
     (CommandQueueFactory.cpp:49-66: type string + device ordinal) and the
-    native {"queueType": "tpu", "device": N}.  Ordinals index
+    native {"queueType": "tpu", "device": N}.  Unknown queueType raises
+    (the reference returns Status_NotFound, CommandQueueFactory.cpp:72-75)
+    rather than silently pinning everything to device 0.  Ordinals index
     ``jax.devices()``; out-of-range falls back to device 0 with a warning
     (single-chip hosts running multi-queue JSON should degrade, not die).
     """
+    qtype = spec.get("queueType", spec.get("queue_type"))
+    if qtype is not None and str(qtype).lower() not in _KNOWN_QUEUE_TYPES:
+        raise ValueError(
+            f"unknown queueType {qtype!r} "
+            f"(accepted: {sorted(_KNOWN_QUEUE_TYPES)})"
+        )
     idx = spec.get("device", spec.get("cudaDevice", spec.get("cuda_device", 0)))
     idx = int(idx)
     devices = jax.devices()
@@ -174,8 +187,19 @@ class MergedRunner:
         self._step = jax.jit(step, donate_argnums=(0,) if donate_state else ())
 
     def init_state(self) -> dict:
-        return {name: blk.init_state() for name, blk in self.blocks.items()}
+        states = {name: blk.init_state() for name, blk in self.blocks.items()}
+        if self.device is not None:
+            states = jax.device_put(states, self.device)
+        return states
 
     def step(self, states: dict, xs: dict) -> tuple[dict, dict]:
-        """One merged tick. ``xs``: name -> device-resident input block."""
+        """One merged tick. ``xs``: name -> input block (host or device).
+
+        When the runner was bound to a queue, inputs are device_put onto the
+        queue's device (a no-op for arrays already committed there), so the
+        queue routing is real on multi-device hosts — mirroring
+        StreamRunner.run's placement of its uploads.
+        """
+        if self.device is not None:
+            xs = jax.device_put(xs, self.device)
         return self._step(states, xs)

@@ -40,6 +40,11 @@ class RunStats:
     samples_out: int = 0
     wall_seconds: float = 0.0
     dropped: int = 0
+    #: per-output-port sample counts for multi-output graphs (the reference's
+    #: per-port ReadByteCountMonitor role, ReadByteCountMonitor.cpp:44-63);
+    #: samples_out stays the first port's count (the run-loop termination
+    #: metric, nbfm_test.cpp:571).
+    samples_out_ports: list = field(default_factory=list)
 
     @property
     def msps_in(self) -> float:
@@ -121,11 +126,43 @@ class StreamRunner:
         max_blocks: int | None = None,
         postprocess: Callable[[np.ndarray], np.ndarray] | None = None,
     ) -> tuple[Any, RunStats]:
-        """Stream source -> block -> sink. Returns (final_state, stats)."""
+        """Stream source -> block -> sink(s). Returns (final_state, stats).
+
+        For a multi-output Graph (tuple-valued ``block.apply``), pass a
+        sequence of sinks, one per output port — the reference drives
+        multiple sinks per source port with fan-out copies
+        (SteppingDriver.cpp:309-362); here each sink just reads its port of
+        the tuple.  ``postprocess`` may likewise be a sequence (per port) or
+        a single callable applied to every port.
+        """
         if state is None:
             state = self.init_state()
-        stats = RunStats()
+        sinks = list(sink) if isinstance(sink, (list, tuple)) else [sink]
+        n_ports = len(sinks)
+        posts = (
+            list(postprocess)
+            if isinstance(postprocess, (list, tuple))
+            else [postprocess] * n_ports
+        )
+        if len(posts) != n_ports:
+            raise ValueError(f"{len(posts)} postprocessors for {n_ports} sinks")
+        stats = RunStats(samples_out_ports=[0] * n_ports)
         pending: deque = deque()
+
+        def drain(y) -> None:
+            # a Complex pair is ONE stream (NamedTuple -> tuple instance)
+            ys = y if isinstance(y, tuple) and not cplx.is_pair(y) else (y,)
+            if len(ys) != n_ports:
+                raise ValueError(
+                    f"block produced {len(ys)} outputs but {n_ports} sinks given"
+                )
+            for port, (yp, snk, post) in enumerate(zip(ys, sinks, posts)):
+                out = _to_host(yp)
+                if post is not None:
+                    out = post(out)
+                snk.write(out)
+                stats.samples_out_ports[port] += out.shape[-1]
+
         t0 = time.perf_counter()
 
         for i, raw in enumerate(source):
@@ -151,19 +188,12 @@ class StreamRunner:
             stats.samples_in += raw.shape[-1]
             pending.append(y)
             if len(pending) > self.pipeline_depth:
-                out = _to_host(pending.popleft())
-                if postprocess is not None:
-                    out = postprocess(out)
-                sink.write(out)
-                stats.samples_out += out.shape[-1]
+                drain(pending.popleft())
 
         while pending:
-            out = _to_host(pending.popleft())
-            if postprocess is not None:
-                out = postprocess(out)
-            sink.write(out)
-            stats.samples_out += out.shape[-1]
+            drain(pending.popleft())
 
+        stats.samples_out = stats.samples_out_ports[0]
         stats.wall_seconds = time.perf_counter() - t0
         log.info(
             "stream done: %d blocks, %.2f Msps in, %.2f Msps out",

@@ -91,6 +91,7 @@ def fir_extended(
     taps,
     decimation: int = 1,
     mode: FirMode = "auto",
+    precision=None,
 ):
     """Valid-mode convolution of ``x_ext`` with ``taps``, decimated by D.
 
@@ -100,6 +101,10 @@ def fir_extended(
     Complex data may be a cplx.Complex pair (device path) or a complex64
     array (CPU test convenience); the return matches the input
     representation.  All device math is real float32.
+
+    ``precision`` overrides the MXU accumulation precision for the banded-
+    matmul path (default: the module-level _MXU_PRECISION env constant) —
+    probes vary it per call instead of reloading the module.
     """
     T = np.shape(taps)[-1] if not isinstance(taps, cplx.Complex) else taps.shape[-1]
     D = int(decimation)
@@ -134,6 +139,8 @@ def fir_extended(
         return _fir_fft_dispatch(x_ext, taps, D, M, pair_in)
 
     impl = {"poly": _fir_poly, "conv": _fir_conv, "mxu": _fir_mxu}[mode]
+    if mode == "mxu":
+        impl = functools.partial(impl, precision=precision)
 
     if not cplx_x and not cplx_h:  # FF
         return impl(jnp.asarray(x_ext), jnp.asarray(taps), D, M)
@@ -153,7 +160,7 @@ def fir_extended(
         out = cplx.Complex(y[0], y[1])
     elif cplx_x and cplx_h:  # CC
         if mode == "mxu":
-            out = _fir_mxu_cc(xp, hp, D, M)
+            out = _fir_mxu_cc(xp, hp, D, M, precision=precision)
         else:  # 3-multiply complex convolution
             k1 = impl(xp.re + xp.im, hp.re, D, M)
             k2 = impl(xp.im, hp.re + hp.im, D, M)
@@ -267,12 +274,17 @@ def _mxu_band(taps: jnp.ndarray, c: int, D: int) -> jnp.ndarray:
     )
 
 
-def _mxu_matmul(A: jnp.ndarray, W: jnp.ndarray, M: int) -> jnp.ndarray:
-    y = jnp.einsum("...rk,kc->...rc", A, W, precision=_MXU_PRECISION)
+def _mxu_matmul(A, W, M: int, precision=None) -> jnp.ndarray:
+    y = jnp.einsum(
+        "...rk,kc->...rc", A, W,
+        precision=_MXU_PRECISION if precision is None else precision,
+    )
     return y.reshape(y.shape[:-2] + (-1,))[..., :M]
 
 
-def _fir_mxu(x: jnp.ndarray, taps: jnp.ndarray, D: int, M: int) -> jnp.ndarray:
+def _fir_mxu(
+    x: jnp.ndarray, taps: jnp.ndarray, D: int, M: int, precision=None
+) -> jnp.ndarray:
     """Banded-matmul path: the decimating FIR as a dense MXU contraction.
 
     Outputs are tiled c at a time: row r of the window matrix A holds the
@@ -287,10 +299,12 @@ def _fir_mxu(x: jnp.ndarray, taps: jnp.ndarray, D: int, M: int) -> jnp.ndarray:
     T = taps.shape[-1]
     c = _mxu_tile_width(T, D, M)
     A = _mxu_windows(x, c, D, T, M)
-    return _mxu_matmul(A, _mxu_band(taps, c, D), M)
+    return _mxu_matmul(A, _mxu_band(taps, c, D), M, precision)
 
 
-def _fir_mxu_cc(xp: cplx.Complex, hp: cplx.Complex, D: int, M: int) -> cplx.Complex:
+def _fir_mxu_cc(
+    xp: cplx.Complex, hp: cplx.Complex, D: int, M: int, precision=None
+) -> cplx.Complex:
     """Complex data x complex taps on the MXU.
 
     Uses the 4-matmul form over two shared window matrices rather than the
@@ -305,8 +319,8 @@ def _fir_mxu_cc(xp: cplx.Complex, hp: cplx.Complex, D: int, M: int) -> cplx.Comp
     Wr = _mxu_band(hp.re, c, D)
     Wi = _mxu_band(hp.im, c, D)
     return cplx.Complex(
-        _mxu_matmul(Ar, Wr, M) - _mxu_matmul(Ai, Wi, M),
-        _mxu_matmul(Ar, Wi, M) + _mxu_matmul(Ai, Wr, M),
+        _mxu_matmul(Ar, Wr, M, precision) - _mxu_matmul(Ai, Wi, M, precision),
+        _mxu_matmul(Ar, Wi, M, precision) + _mxu_matmul(Ai, Wr, M, precision),
     )
 
 
@@ -432,6 +446,7 @@ def fir_apply(
     taps,
     decimation: int = 1,
     mode: FirMode = "auto",
+    precision=None,
 ):
     """One streaming step: (history, block) -> (history', outputs).
 
@@ -446,7 +461,7 @@ def fir_apply(
     if N % D != 0:
         raise ValueError(f"block length {N} not divisible by decimation {D}")
     ext = _concat_last(state, x)
-    y = fir_extended(ext, taps, D, mode)
+    y = fir_extended(ext, taps, D, mode, precision)
     T = np.shape(taps)[-1] if not isinstance(taps, cplx.Complex) else taps.shape[-1]
     return _tail(ext, T - 1), y
 
@@ -456,16 +471,17 @@ def fir_full(
     taps,
     decimation: int = 1,
     mode: FirMode = "auto",
+    precision=None,
 ):
     """Offline whole-signal filter with zero initial history."""
     T = np.shape(taps)[-1] if not isinstance(taps, cplx.Complex) else taps.shape[-1]
     shape = x.shape[:-1] + (history_len(T),)
     state = cplx.zeros(shape) if cplx.is_pair(x) else jnp.zeros(shape, dtype=x.dtype)
     usable = (x.shape[-1] // decimation) * decimation
-    _, y = fir_apply(state, x[..., :usable], taps, decimation, mode)
+    _, y = fir_apply(state, x[..., :usable], taps, decimation, mode, precision)
     return y
 
 
-@functools.partial(jax.jit, static_argnames=("decimation", "mode"))
-def fir_apply_jit(state, x, taps, decimation=1, mode="auto"):
-    return fir_apply(state, x, taps, decimation, mode)
+@functools.partial(jax.jit, static_argnames=("decimation", "mode", "precision"))
+def fir_apply_jit(state, x, taps, decimation=1, mode="auto", precision=None):
+    return fir_apply(state, x, taps, decimation, mode, precision)

@@ -88,14 +88,17 @@ def main() -> None:
     def base_f32(x):
         return (x * np.float32(2.0),)
 
+    # D (int32 stack-reinterleave) last: it compiled for >8 min through the
+    # tunnel on 2026-08-19 without finishing — the stack+reshape forms are
+    # pathological for Mosaic; C already wins, D kept only for the record.
     inputs = {
         "A_bitcast_flat_int8": (var_a, x8),
         "B_bitcast_2d_int8": (var_b, x8),
         "C_hostview_int16": (var_c, x8.view(np.int16)),
-        "D_hostview_int32": (var_d, x8.view(np.int32)),
         "E_cast_int8_only": (base_cast8, x8),
         "E_cast_int16_only": (base_cast16, x8.view(np.int16)),
         "E_f32_stream": (base_f32, (x8.astype(np.float32))),
+        "D_hostview_int32": (var_d, x8.view(np.int32)),
     }
 
     # --- validate the deinterleavers bit-exactly on a small slice (CPU-side

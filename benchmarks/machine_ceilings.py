@@ -18,18 +18,28 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _t(fn, x, iters=10):
-    """Chained timing: each iteration consumes the previous output, so the
-    device cannot overlap or elide executions (shape-preserving fns only)."""
+def _t(fn, x, k1=10, k2=50, reps=3):
+    """Chained marginal timing: each iteration consumes the previous output
+    (shape-preserving fns only) so the device cannot elide executions; the
+    k2-k1 slope cancels dispatch + the host-fetch sync.  block_until_ready
+    can return early on the axon backend (CLAUDE.md) — only a host transfer
+    reliably joins the stream, and its cost is identical at both chain
+    lengths, so it drops out of the slope."""
     import jax
 
-    y = fn(x)
-    jax.block_until_ready(y)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        y = fn(y)
-    jax.block_until_ready(y)
-    return (time.perf_counter() - t0) / iters
+    def chain_time(k):
+        y = fn(x)
+        np.asarray(jax.tree_util.tree_leaves(y)[0].ravel()[0])
+        t0 = time.perf_counter()
+        y = fn(x)
+        for _ in range(k - 1):
+            y = fn(y)
+        np.asarray(jax.tree_util.tree_leaves(y)[0].ravel()[0])
+        return time.perf_counter() - t0
+
+    t1 = min(chain_time(k1) for _ in range(reps))
+    t2 = min(chain_time(k2) for _ in range(reps))
+    return (t2 - t1) / (k2 - k1)
 
 
 def main() -> None:

@@ -38,9 +38,14 @@ def main() -> None:
                 jnp.asarray(rng.standard_normal((K2, n_in)).astype(np.float32)),
                 jnp.asarray(rng.standard_normal((K2, n_in)).astype(np.float32)),
             )
-        elif blk.in_dtype == jnp.int8:
+        elif blk.in_dtype in (jnp.int8, jnp.int16, jnp.int32):
+            # integer front ends take packed IQ words (blocks.IqToComplex):
+            # synthesize int8 wire bytes and view
+            width = jnp.dtype(blk.in_dtype).itemsize
             xs = jnp.asarray(
-                rng.integers(-128, 128, size=(K2, n_in), dtype=np.int8)
+                rng.integers(
+                    -128, 128, size=(K2, n_in * width), dtype=np.int8
+                ).view(np.dtype(blk.in_dtype).name)
             )
         else:
             xs = jnp.asarray(rng.standard_normal((K2, n_in)).astype(np.float32))

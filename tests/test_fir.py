@@ -95,7 +95,16 @@ class TestFirStreaming:
     """The FirTests.cpp:96-221 property, generalized."""
 
     @pytest.mark.parametrize("mode", MODES)
-    @pytest.mark.parametrize("T,D", [(7, 2), (31, 4), (64, 1)])
+    @pytest.mark.parametrize(
+        "T,D",
+        [
+            (7, 2),
+            # larger shapes re-check the same property at ~10x the compile
+            # cost (6 fir_apply traces each, the suite's hot spot) — slow
+            pytest.param(31, 4, marks=pytest.mark.slow),
+            pytest.param(64, 1, marks=pytest.mark.slow),
+        ],
+    )
     def test_block_split_invariance(self, rng, mode, T, D):
         taps = jnp.asarray(rng.standard_normal(T).astype(np.float32))
         total = 64 * D

@@ -41,12 +41,12 @@ class TestChain:
                 ("audio", B.Resampler(3, 5)),
             ]
         )
-        # ratio: 1/2 * 1/4 * 1 * 3/5 = 3/40
-        assert (c.up, c.down) == (3, 40)
+        # ratio: 1/1 (packed IQ words) * 1/4 * 1 * 3/5 = 3/20
+        assert (c.up, c.down) == (3, 20)
         n = c.granule
-        assert n % 8 == 0  # must clear /2 and /4
+        assert n % 4 == 0  # must clear the /4 decimation
         out = c.out_len(n)
-        assert out == n * 3 // 40
+        assert out == n * 3 // 20
 
     def test_apply_matches_manual(self, rng):
         taps = lp_taps()

@@ -24,7 +24,10 @@ class TestFileSource:
         src = FileIqSource(path, block_samples=1000, input_format="int8")
         blocks = list(src)
         assert len(blocks) == 3  # trailing partial block dropped
-        np.testing.assert_array_equal(np.concatenate(blocks), data[: 3 * 2000])
+        # int8 IQ is yielded as packed int16 words, one per complex sample
+        got = np.concatenate(blocks)
+        assert got.dtype == np.int16 and got.size == 3 * 1000
+        np.testing.assert_array_equal(got.view(np.int8), data[: 3 * 2000])
 
     def test_loop_and_max_blocks(self, tmp_path):
         path = str(tmp_path / "cap.iq")
@@ -71,7 +74,10 @@ class TestSocketSource:
         blocks = list(src)
         assert len(blocks) == 4
         assert src.dropped_blocks == 0
-        np.testing.assert_array_equal(np.concatenate(blocks), payload)
+        # int8 IQ arrives as packed int16 words (one per complex sample)
+        got = np.concatenate(blocks)
+        assert got.dtype == np.int16 and got.size == 512 * 4
+        np.testing.assert_array_equal(got.view(np.int8), payload)
         t.join(timeout=2)
 
 
@@ -228,11 +234,12 @@ class TestLiveSourcePacing:
         seen = []
         for blk in src:
             # each received block must be intact (single fill value): drops
-            # happen at block granularity, never mid-block
-            assert blk.shape == (scalars,)
+            # happen at block granularity, never mid-block.  int16 IQ is
+            # yielded as packed int32 words (two fill int16s per word).
+            assert blk.shape == (block_samples,) and blk.dtype == np.int32
             vals = np.unique(blk)
             assert len(vals) == 1, "torn block after overrun"
-            seen.append(int(vals[0]))
+            seen.append(int(np.array([vals[0]], np.int32).view(np.int16)[0]))
             time.sleep(0.004)  # consumer slower than producer -> overrun
         t.join(timeout=10)
 

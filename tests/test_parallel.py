@@ -147,6 +147,7 @@ class TestTimeSharding:
         shd = run_sharded(chain, zp, 4, mesh)
         assert_shard_stable(shd, ref)
 
+    @pytest.mark.slow
     def test_deemphasis_sharded_near_warmup_cliff(self, rng):
         """IIR de-emphasis with a pole sized just under _MAX_IIR_WARMUP:
         the shard halo is the full ~32k-sample warmup, and sharded must
@@ -165,6 +166,7 @@ class TestTimeSharding:
         shd = run_sharded(chain, x, 1, mesh)
         assert_shard_stable(shd, ref, snr_db=-90.0)
 
+    @pytest.mark.slow
     def test_deemphasis_beyond_cliff_splits_to_tail(self, rng):
         """A pole beyond the cliff is not time-shardable; the chain must
         split it into the sequential tail and still match unsharded."""

@@ -110,28 +110,53 @@ class Int16ToFloat(Block):
 
 @register_block("IqToComplex")
 class IqToComplex(Block):
-    """Interleaved IQ (int8/int16/float) -> complex64; 2:1 sample ratio.
+    """IQ wire format -> complex64.
 
     Fuses the reference's CudaMemcpy + Int8ToFloat front end
     (nbfm_test.cpp:447-459) into one elementwise map.
+
+    For the integer formats the stream element is one PACKED WORD per
+    complex sample — int8 IQ arrives as little-endian int16 words, int16 IQ
+    as int32 words (the host views the wire bytes for free: io sources /
+    convert.pack_int8_words) — so the rate is 1:1 and the granule 1.
+    Device-resident int8 is sub-word on TPU: loading + bitcasting it
+    measured 5.1x slower than splitting the identical bytes from words
+    (1.45 vs 7.47 Gsps of int8 scalars on v5e,
+    benchmarks/int8_front_probe.py 2026-08-19).  A raw int8/int16 scalar
+    array is rejected with a pointer at the packing helper.
+
+    'float32' remains interleaved scalars (2:1) — f32 pairs have no wider
+    word to pack into; cf32 captures enter as pairs via the runner anyway.
     """
 
-    up, down = 1, 2
     out_dtype = jnp.complex64
 
     def __init__(self, input_format: str = "int8"):
         self.input_format = input_format
         self.in_dtype = {
-            "int8": jnp.int8,
-            "int16": jnp.int16,
+            "int8": jnp.int16,  # packed words, one per complex sample
+            "int16": jnp.int32,
             "float32": jnp.float32,
         }[input_format]
+        self.up, self.down = (1, 2) if input_format == "float32" else (1, 1)
 
     def apply(self, state, x):
         if self.input_format == "int8":
-            return state, convert.int8_iq_to_complex(x)
+            if x.dtype == jnp.int8:
+                raise TypeError(
+                    "IqToComplex('int8') takes packed int16 words (one per "
+                    "complex sample); view the wire bytes with "
+                    "convert.pack_int8_words (free) — raw int8 arrays are "
+                    "5x slower on TPU"
+                )
+            return state, convert.int8_words_to_complex(x)
         if self.input_format == "int16":
-            return state, convert.int16_iq_to_complex(x)
+            if x.dtype == jnp.int16:
+                raise TypeError(
+                    "IqToComplex('int16') takes packed int32 words; view "
+                    "the wire bytes with convert.pack_int16_words"
+                )
+            return state, convert.int16_words_to_complex(x)
         return state, convert.interleaved_to_complex(x)
 
 
@@ -422,11 +447,19 @@ class FreqShiftFir(Block):
 
 @register_block("FusedFmDemod")
 class FusedFmDemod(Block):
-    """Fused NCO-mix -> decimating FIR -> FM discriminator (one Pallas
-    kernel, kernels/fm_pallas.py; gsdrFmDemod precedent).
+    """Fused shift -> decimating FIR -> FM discriminator (gsdrFmDemod
+    precedent, fm_simpletest.cpp:400-414).
 
     Equivalent to FreqShift(frequency) -> Fir(taps, D) -> QuadFmDemod(gain)
-    but with one HBM pass.  Carry: last (T-1)+D input samples + NCO phase.
+    in one HBM pass.  The r3 form folds the shift into complex taps
+    (FreqShiftFir math) and runs the banded MXU kernel with VMEM-resident
+    windows (kernels/fir_banded_pallas.py); the residual per-output
+    rotation e^{j*D*w} cancels in the discriminator's conjugate product up
+    to a constant angle, applied as one audio-rate complex rotation.  No
+    full-rate VPU work remains — the r2 VPU MAC kernel (kernels/
+    fm_pallas.py) lost to the unfused MXU chain 2549 vs 4478 Msps
+    (BENCH_configs_r02) and is kept only as the fallback for shapes the
+    banded kernel rejects.  Carry: last (T-1)+D input samples + NCO phase.
     """
 
     out_dtype = jnp.float32
@@ -465,12 +498,15 @@ class FusedFmDemod(Block):
 
     def apply(self, state, x):
         from tpusdr.kernels.dispatch import pallas_mode
+        from tpusdr.kernels.fir_banded_pallas import eligible
         from tpusdr.ops import cplx as _cplx
 
         mode = pallas_mode()
         ext = _cplx.concat([state["tail"], x], axis=-1)
         if mode == "xla":
             y = self._apply_xla(state["phase"], ext)
+        elif eligible(len(self.taps), self.decimation, True) and ext.re.ndim == 1:
+            y = self._apply_banded(ext, interpret=(mode == "interpret"))
         else:
             from tpusdr.kernels.fm_pallas import fused_fm_demod_pallas
 
@@ -490,6 +526,36 @@ class FusedFmDemod(Block):
             "phase": state["phase"] + jnp.uint32((int(self.inc) * n) % (1 << 32)),
         }
         return new_state, y
+
+    def _mod_taps_np(self) -> np.ndarray:
+        """taps[j] * e^{j theta(T-1-j)} (FreqShiftFir._mod_taps, as numpy —
+        the banded kernel folds them into its constant tap matrix)."""
+        T = len(self.taps)
+        k = (T - 1 - np.arange(T)) * int(self.inc) % (1 << 32)
+        ang = k.astype(np.float64) * (2.0 * np.pi / 2.0**32)
+        return (self.taps * np.exp(1j * ang)).astype(np.complex64)
+
+    def _apply_banded(self, ext, interpret: bool):
+        """Banded MXU kernel + audio-rate discriminator.
+
+        With the shift folded into the taps, the filtered-decimated stream
+        is y[m] = e^{j(phi0 + m*D*w)} v[m]; the discriminator product
+        y[m+1] conj(y[m]) = v[m+1] conj(v[m]) * e^{j*D*w} — the absolute
+        phase cancels and the residual is ONE constant rotation at the
+        decimated rate.
+        """
+        from tpusdr.kernels.fir_banded_pallas import banded_fir_pallas
+        from tpusdr.ops import xmath
+
+        v = banded_fir_pallas(ext, self._mod_taps_np(), self.decimation, interpret)
+        prod = v[..., 1:] * v[..., :-1].conj()
+        wd = (
+            (int(self.inc) * self.decimation) % (1 << 32)
+        ) * (2.0 * np.pi / 2.0**32)
+        c, s = np.float32(np.cos(wd)), np.float32(np.sin(wd))
+        pr = prod.re * c - prod.im * s
+        pi = prod.re * s + prod.im * c
+        return jnp.float32(self.gain) * xmath.atan2(pi, pr)
 
     def _apply_xla(self, phase0, ext):
         """Same math via XLA ops (mix -> poly FIR -> discriminator); used

@@ -34,10 +34,22 @@ _DTYPES = {
     "float32": np.float32,
 }
 
+#: wire-format -> upload dtype: integer IQ travels as PACKED WORDS, one per
+#: complex sample (int8 pair -> int16 word, int16 pair -> int32 word).
+#: Identical bytes, friendlier device layout: sub-word int8 arrays load 5x
+#: slower on v5e than the same bytes viewed as words
+#: (benchmarks/int8_front_probe.py; graph/blocks.py IqToComplex).
+_WORD_DTYPES = {
+    "int8": np.int16,
+    "int16": np.int32,
+    "float32": np.float32,
+}
+
 
 class FileIqSource:
     """Interleaved-IQ file playback, ``block_samples`` *complex* samples per
-    block (2x scalars for interleaved formats)."""
+    block.  Integer formats yield packed words (one per complex sample);
+    'float32' yields 2x interleaved scalars; 'cf32' yields complex64."""
 
     def __init__(
         self,
@@ -55,9 +67,12 @@ class FileIqSource:
         if input_format == "cf32":
             self._mm = np.memmap(path, dtype=np.complex64, mode="r")
             self._scalars_per_block = self.block
-        else:
-            self._mm = np.memmap(path, dtype=_DTYPES[input_format], mode="r")
+        elif input_format == "float32":
+            self._mm = np.memmap(path, dtype=np.float32, mode="r")
             self._scalars_per_block = 2 * self.block
+        else:  # packed-word integer formats: one word per complex sample
+            self._mm = np.memmap(path, dtype=_WORD_DTYPES[input_format], mode="r")
+            self._scalars_per_block = self.block
 
     def __iter__(self) -> Iterator[np.ndarray]:
         n = self._scalars_per_block
@@ -137,10 +152,16 @@ def _format_iq(z: np.ndarray, fmt: str) -> np.ndarray:
     inter = np.empty(2 * len(z), dtype=np.float32)
     inter[0::2] = z.real
     inter[1::2] = z.imag
-    if fmt == "int8":
-        return np.clip(np.round(inter * 127.0), -128, 127).astype(np.int8)
-    if fmt == "int16":
-        return np.clip(np.round(inter * 32767.0), -32768, 32767).astype(np.int16)
+    if fmt == "int8":  # packed words: one int16 per complex sample
+        return np.clip(np.round(inter * 127.0), -128, 127).astype(np.int8).view(
+            np.int16
+        )
+    if fmt == "int16":  # packed words: one int32 per complex sample
+        return (
+            np.clip(np.round(inter * 32767.0), -32768, 32767)
+            .astype(np.int16)
+            .view(np.int32)
+        )
     return inter
 
 
@@ -166,9 +187,11 @@ class SocketIqSource:
         self.addr = (host, port)
         self.block = int(block_samples)
         self.format = input_format
-        dtype = _DTYPES[input_format]
+        # integer IQ is yielded as packed words, one per complex sample
+        # (same bytes off the wire; see _WORD_DTYPES)
+        dtype = _WORD_DTYPES[input_format]
         self._itemsize = np.dtype(dtype).itemsize
-        self._scalars = 2 * self.block
+        self._scalars = 2 * self.block if input_format == "float32" else self.block
         self._dtype = dtype
         self._q: queue.Queue[np.ndarray | None] = queue.Queue(maxsize=pool_blocks)
         self.timeout_s = timeout_s

@@ -1,0 +1,215 @@
+"""Banded-matmul decimating FIR as a Pallas kernel (MXU, windows in VMEM).
+
+The round-2 XLA banded path (ops/fir.py _fir_mxu) made the decimating FIR
+a dense (rows, K) x (K, c) contraction — but XLA materializes the window
+matrix A in HBM (~2x the signal bytes written + read back).  This kernel
+assembles A in VMEM from a single streaming read of the signal:
+
+  per grid program (R rows of c=128 outputs each):
+    1. DMA (R + pad rows, G) of decimation row-chunks (G = c*D samples,
+       row-major so the host-side reshape is free) HBM -> VMEM, for both
+       planes;
+    2. build A[r, i] = x[(k*R + r)*G + i] (width Kpad) by concatenating
+       shifted row slices — pure VMEM traffic;
+    3. 2 (real taps) or 4 (complex taps) MXU matmuls against the constant
+       banded tap matrix W[i, j] = h_rev[i - j*D];
+    4. write the (R, c) decimated output tile(s).
+
+HBM traffic: one read of the signal + the decimated write — the window
+duplication that bounds the XLA path (VERDICT r2 weak #5) never leaves
+VMEM.  Complex taps come from FreqShiftFir's shift folding, so this kernel
+is the full fused front end: shift + FIR + decimate in one pass
+(gsdrFmDemod precedent, fm_simpletest.cpp:400-414, restated for MXU+VMEM).
+
+Mosaic constraints honored (benchmarks/pallas_mosaic_probes.py): DMA row
+counts are sublane (8) multiples, lane width G is a 128-multiple by
+construction (G = 128*D), rank-matched ops only.
+
+Taps must be CONCRETE (numpy / compile-time constants): the banded matrix
+is built on the host at trace time, exactly like FreqShiftFir._mod_taps.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpusdr.ops import cplx
+from tpusdr.utils.numerics import cdiv, round_up
+
+#: outputs per matmul column-tile — the MXU lane width.
+_C = 128
+#: output rows per grid program (sublane-friendly output tiles).
+_R = 24
+#: refuse shapes whose banded tap matrix would blow VMEM (the caller falls
+#: back to the XLA path).
+_MAX_W_BYTES = 8 << 20
+
+
+def _plan(T: int, D: int):
+    G = _C * D
+    K = (_C - 1) * D + T
+    kpad = round_up(K, 128)
+    q = cdiv(kpad - G, G) if kpad > G else 0
+    return G, kpad, q
+
+
+def eligible(T: int, D: int, complex_taps: bool) -> bool:
+    """Shapes this kernel handles well: decimating, tap matrix in VMEM."""
+    if D < 2:
+        return False  # non-decimating: better served by fir_pallas / XLA
+    _, kpad, q = _plan(T, D)
+    w_bytes = kpad * _C * 4 * (2 if complex_taps else 1)
+    return w_bytes <= _MAX_W_BYTES and q <= 2
+
+
+def _band(h_rev: np.ndarray, kpad: int, D: int) -> np.ndarray:
+    T = h_rev.shape[-1]
+    i_idx = np.arange(kpad)[:, None] - np.arange(_C)[None, :] * D
+    mask = (i_idx >= 0) & (i_idx < T)
+    return np.where(mask, h_rev[np.clip(i_idx, 0, T - 1)], 0.0).astype(np.float32)
+
+
+def _kernel(
+    xr_ref,
+    xi_ref,
+    wr_ref,
+    wi_ref,
+    or_ref,
+    oi_ref,
+    sr,
+    si,
+    sem_r,
+    sem_i,
+    *,
+    R,
+    G,
+    kpad,
+    q,
+    dma_rows,
+    cplx_taps,
+):
+    k = pl.program_id(0)
+    cp_r = pltpu.make_async_copy(xr_ref.at[pl.ds(k * R, dma_rows), :], sr, sem_r)
+    cp_i = pltpu.make_async_copy(xi_ref.at[pl.ds(k * R, dma_rows), :], si, sem_i)
+    cp_r.start()
+    cp_i.start()
+    cp_r.wait()
+    cp_i.wait()
+
+    def windows(s):
+        # A[r] = x[(kR + r)*G : ... + kpad]: q full-G parts + one tail part
+        parts = [s[j : j + R, :] for j in range(q)]
+        w_last = kpad - q * G
+        if w_last > 0:
+            parts.append(s[q : q + R, :w_last])
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+
+    ar = windows(sr[:])
+    ai = windows(si[:])
+
+    dot = functools.partial(
+        jnp.dot,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if cplx_taps:
+        wr = wr_ref[:]
+        wi = wi_ref[:]
+        or_ref[:] = dot(ar, wr) - dot(ai, wi)
+        oi_ref[:] = dot(ar, wi) + dot(ai, wr)
+    else:
+        wr = wr_ref[:]
+        or_ref[:] = dot(ar, wr)
+        oi_ref[:] = dot(ai, wr)
+
+
+def banded_fir_pallas(
+    x_ext: cplx.Complex,
+    taps,
+    decimation: int,
+    interpret: bool = False,
+) -> cplx.Complex:
+    """Decimating FIR of an extended block (history prepended), complex
+    data x real-or-complex CONCRETE taps; semantics identical to
+    ops.fir.fir_extended(mode='mxu').  Call under an enclosing jit — the
+    banded matrices fold to compile-time constants."""
+    if cplx.is_pair(taps):
+        hr = np.asarray(taps.re, np.float32)
+        hi = np.asarray(taps.im, np.float32)
+    else:
+        t = np.asarray(taps)
+        if np.iscomplexobj(t):
+            hr, hi = t.real.astype(np.float32), t.imag.astype(np.float32)
+        else:
+            hr, hi = t.astype(np.float32), None
+
+    D = int(decimation)
+    T = hr.shape[-1]
+    L = x_ext.shape[-1]
+    M = (L - (T - 1)) // D
+    if M <= 0:
+        return cplx.zeros(x_ext.shape[:-1] + (0,))
+    if x_ext.re.ndim != 1:
+        raise ValueError("banded_fir_pallas is single-stream (1-D) only")
+    G, kpad, q = _plan(T, D)
+    cplx_taps = hi is not None
+
+    m_rows = cdiv(M, _C)
+    n_prog = cdiv(m_rows, _R)
+    m_rows_pad = n_prog * _R
+    dma_rows = _R + round_up(max(q, 1), 8)
+    total_rows = (n_prog - 1) * _R + dma_rows
+    need = total_rows * G
+
+    wr = jnp.asarray(_band(hr[::-1], kpad, D))
+    # placeholder when taps are real (Mosaic wants a rank-matched ref)
+    wi = jnp.asarray(_band(hi[::-1], kpad, D)) if cplx_taps else wr
+
+    def prep(x):
+        pad = need - L
+        x = jnp.pad(x, (0, pad)) if pad > 0 else x[:need]
+        return x.reshape(total_rows, G).astype(jnp.float32)
+
+    fr, fi = prep(x_ext.re), prep(x_ext.im)
+
+    yr, yi = pl.pallas_call(
+        functools.partial(
+            _kernel,
+            R=_R,
+            G=G,
+            kpad=kpad,
+            q=q,
+            dma_rows=dma_rows,
+            cplx_taps=cplx_taps,
+        ),
+        grid=(n_prog,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((_R, _C), lambda k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_R, _C), lambda k: (k, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((m_rows_pad, _C), jnp.float32),
+            jax.ShapeDtypeStruct((m_rows_pad, _C), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((dma_rows, G), jnp.float32),
+            pltpu.VMEM((dma_rows, G), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(fr, fi, wr, wi)
+    return cplx.Complex(yr.reshape(-1)[:M], yi.reshape(-1)[:M])

@@ -45,12 +45,12 @@ def main() -> None:
     # 2M samples/tick (0.1 s of signal at 20 Msps; 8M ticks measured ~30%
     # slower per sample — HBM pressure from the stacked scan inputs).
     # The MXU chain runs a tick in ~0.5 ms, so the scan arms must stretch
-    # until the k2-k1 slope baseline (~60 ms) dwarfs the tunnel's multi-ms
-    # dispatch jitter: ks=(4,32,64) measured 21-22% spread in r2; (8,64,128)
-    # puts the same chain at <10% (VERDICT r2 weak #1 fix).  xs HBM cost:
-    # 128 ticks x 2M x 8 B = 2 GB, well inside the v5e's 16 GB.
+    # until adjacent-arm gaps (~45 ms) dwarf the tunnel's multi-ms dispatch
+    # jitter: ks=(4,32,64) measured 21-22% spread in r2.  Four arms give 6
+    # pairwise slopes and an interquartile spread (utils/profiling.py) that
+    # rejects the short-gap outliers.  xs HBM: 256 ticks x 2M x 8 B = 4 GB.
     tick = chain.granule * max(1, (1 << 21) // chain.granule)
-    ks = (8, 64, 128)
+    ks = (16, 96, 176, 256)
 
     rng = np.random.default_rng(0)
     xs = cplx.Complex(

@@ -111,7 +111,7 @@ def config2() -> dict:
         ),
         256,
     )
-    m = _measure_chain(chain, xs, ks=(16, 128, 256), reps=6)
+    m = _measure_chain(chain, xs, ks=(16, 96, 176, 256), reps=6)
     return {
         "metric": "am_chain_int8_msps",
         "value": round(tick / m["per_tick"] / 1e6, 2),
@@ -130,12 +130,12 @@ def _wbfm(use_fused: bool) -> dict:
     )
     tick = chain.granule * max(1, (1 << 21) // chain.granule)
     # long scan arms: this fast chain (~0.5 ms/tick) measured 21% slope
-    # spread at ks<=64 (VERDICT r2 weak #1); 128-tick arms fix it.
+    # spread at ks<=64 (VERDICT r2 weak #1); 4 arms -> interquartile spread.
     xs = cplx.Complex(
-        _stack_ticks(lambda: rng.standard_normal(tick).astype(np.float32), 128),
-        _stack_ticks(lambda: rng.standard_normal(tick).astype(np.float32), 128),
+        _stack_ticks(lambda: rng.standard_normal(tick).astype(np.float32), 256),
+        _stack_ticks(lambda: rng.standard_normal(tick).astype(np.float32), 256),
     )
-    m = _measure_chain(chain, xs, ks=(8, 64, 128), reps=6)
+    m = _measure_chain(chain, xs, ks=(16, 96, 176, 256), reps=6)
     v = round(tick / m["per_tick"] / 1e6, 2)
     return {
         "metric": "wbfm_chain_fused_msps" if use_fused else "wbfm_chain_msps",
@@ -161,11 +161,13 @@ def config4() -> dict:
     rng = np.random.default_rng(0)
     chain, _ = multichannel.fm_channel_bank(20.48e6, 64, 16000.0)
     tick = chain.granule * max(1, (1 << 21) // chain.granule)
+    # channel-major channelizer (r3) put this chain in the multi-Gsps
+    # regime: same long 4-arm scans as configs 2/3
     xs = cplx.Complex(
-        _stack_ticks(lambda: rng.standard_normal(tick).astype(np.float32), 64),
-        _stack_ticks(lambda: rng.standard_normal(tick).astype(np.float32), 64),
+        _stack_ticks(lambda: rng.standard_normal(tick).astype(np.float32), 256),
+        _stack_ticks(lambda: rng.standard_normal(tick).astype(np.float32), 256),
     )
-    m = _measure_chain(chain, xs)
+    m = _measure_chain(chain, xs, ks=(16, 96, 176, 256), reps=6)
     return {
         "metric": "fm_channel_bank64_msps",
         "value": round(tick / m["per_tick"] / 1e6, 2),

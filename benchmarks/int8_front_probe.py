@@ -88,9 +88,11 @@ def main() -> None:
     def base_f32(x):
         return (x * np.float32(2.0),)
 
-    # D (int32 stack-reinterleave) last: it compiled for >8 min through the
-    # tunnel on 2026-08-19 without finishing — the stack+reshape forms are
-    # pathological for Mosaic; C already wins, D kept only for the record.
+    # D (int32 stack-reinterleave) EXCLUDED: its compile ran >8 min through
+    # the tunnel twice on 2026-08-19 without finishing — the stack+reshape
+    # re-interleave is pathological for Mosaic; C already wins.  var_d kept
+    # above as the record of what was tried.
+    del var_d
     inputs = {
         "A_bitcast_flat_int8": (var_a, x8),
         "B_bitcast_2d_int8": (var_b, x8),
@@ -98,13 +100,11 @@ def main() -> None:
         "E_cast_int8_only": (base_cast8, x8),
         "E_cast_int16_only": (base_cast16, x8.view(np.int16)),
         "E_f32_stream": (base_f32, (x8.astype(np.float32))),
-        "D_hostview_int32": (var_d, x8.view(np.int32)),
     }
 
     # --- validate the deinterleavers bit-exactly on a small slice (CPU-side
     # fetch; kernel faults only surface on host transfer, CLAUDE.md) --------
-    for name in ("A_bitcast_flat_int8", "B_bitcast_2d_int8", "C_hostview_int16",
-                 "D_hostview_int32"):
+    for name in ("A_bitcast_flat_int8", "B_bitcast_2d_int8", "C_hostview_int16"):
         fn, arr = inputs[name]
         i, q = jax.jit(fn)(jnp.asarray(arr))
         np.testing.assert_array_equal(np.asarray(i), ref_i, err_msg=name)

@@ -109,3 +109,101 @@ class TestFusedFmBlock:
         carry = tss.init_carry()
         _, shd = tss.step(carry, zp)
         assert_shard_stable(np.asarray(shd), np.asarray(ref))
+
+
+class TestBandedFirKernel:
+    """kernels/fir_banded_pallas.py (interpret mode): bit-parity with the
+    XLA mxu path for real and complex taps, plus the block wirings."""
+
+    @pytest.mark.parametrize("T,D", [(546, 50), (33, 4), (46, 2)])
+    def test_matches_xla_mxu(self, rng, T, D):
+        import scipy.signal as sps
+
+        from tpusdr.kernels.fir_banded_pallas import banded_fir_pallas, eligible
+        from tpusdr.ops import fir as fir_ops
+
+        assert eligible(T, D, True)
+        M = 300
+        L = (T - 1) + M * D
+        z = (rng.standard_normal(L) + 1j * rng.standard_normal(L)).astype(
+            np.complex64
+        )
+        zp = cplx.from_numpy(z)
+        t = sps.firwin(T, 0.1).astype(np.float32)
+        ref = fir_ops.fir_extended(zp, jnp.asarray(t), D, "mxu")
+        got = banded_fir_pallas(zp, t, D, interpret=True)
+        np.testing.assert_allclose(
+            cplx.to_numpy(got), cplx.to_numpy(ref), atol=1e-6
+        )
+        tc = (t * np.exp(1j * 0.37 * np.arange(T))).astype(np.complex64)
+        refc = fir_ops.fir_extended(
+            zp, cplx.Complex(jnp.asarray(tc.real), jnp.asarray(tc.imag)), D, "mxu"
+        )
+        gotc = banded_fir_pallas(zp, tc, D, interpret=True)
+        np.testing.assert_allclose(
+            cplx.to_numpy(gotc), cplx.to_numpy(refc), atol=1e-6
+        )
+
+    def test_fir_block_banded_mode(self, rng):
+        import scipy.signal as sps
+
+        from tpusdr.graph import blocks as B
+
+        t = sps.firwin(65, 0.1).astype(np.float32)
+        n = 4096
+        z = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+            np.complex64
+        )
+        zp = cplx.from_numpy(z)
+        ref_b = B.Fir(t, 8)
+        got_b = B.Fir(t, 8, mode="banded")
+        s1, y1 = ref_b.apply(ref_b.init_state(), zp)
+        s2, y2 = got_b.apply(got_b.init_state(), zp)
+        np.testing.assert_allclose(
+            cplx.to_numpy(y1), cplx.to_numpy(y2), atol=1e-6
+        )
+        # streaming continuation agrees too
+        s1, y1 = ref_b.apply(s1, zp)
+        s2, y2 = got_b.apply(s2, zp)
+        np.testing.assert_allclose(
+            cplx.to_numpy(y1), cplx.to_numpy(y2), atol=1e-6
+        )
+
+    def test_freqshiftfir_banded_mode(self, rng):
+        import scipy.signal as sps
+
+        from tpusdr.graph import blocks as B
+
+        t = sps.firwin(89, 0.05).astype(np.float32)
+        n = 8192
+        z = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+            np.complex64
+        )
+        ref_b = B.FreqShiftFir(1e6, -150e3, t, 8)
+        got_b = B.FreqShiftFir(1e6, -150e3, t, 8, mode="banded")
+        s1, y1 = ref_b.apply(ref_b.init_state(), cplx.from_numpy(z))
+        s2, y2 = got_b.apply(got_b.init_state(), cplx.from_numpy(z))
+        np.testing.assert_allclose(np.asarray(y1.re), np.asarray(y2.re), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(y1.im), np.asarray(y2.im), atol=1e-5)
+
+    def test_fused_fm_banded_matches_xla(self, rng):
+        """FusedFmDemod's banded path (interpret) == its XLA reference."""
+        import os
+
+        import scipy.signal as sps
+
+        from tpusdr.graph import blocks as B
+
+        t = sps.firwin(65, 0.1).astype(np.float32)
+        n = 8192
+        z = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+            np.complex64
+        )
+        blk = B.FusedFmDemod(1e6, -150e3, t, 8, gain=1.7)
+        s1, y1 = blk.apply(blk.init_state(), cplx.from_numpy(z))  # interpret->banded
+        os.environ["TPUSDR_PALLAS"] = "xla"
+        try:
+            s2, y2 = blk.apply(blk.init_state(), cplx.from_numpy(z))
+        finally:
+            del os.environ["TPUSDR_PALLAS"]
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=2e-4)

@@ -152,3 +152,34 @@ class TestChannelizer:
             chan.channelize_init(big), cplx.from_numpy(z), big
         )
         np.testing.assert_allclose(split, cplx.to_numpy(whole), atol=1e-5)
+
+
+class TestChannelMajorLayout:
+    def test_channel_major_matches_row_major(self, rng):
+        """channel_major=True (the production layout: branch FIR along
+        lanes, flips folded into constants) == transpose of the row-major
+        result, streaming state identical."""
+        from tpusdr.ops import cplx
+
+        for m in (8, 64):
+            taps = chan.design_prototype(m, taps_per_channel=6)
+            plan = chan.make_plan(taps, m, m * 32)
+            z = (
+                rng.standard_normal(m * 32) + 1j * rng.standard_normal(m * 32)
+            ).astype(np.complex64)
+            zp = cplx.from_numpy(z)
+            s0 = chan.channelize_init(plan)
+            s1, y_fm = chan.channelize_apply(s0, zp, plan)
+            s2, y_cm = chan.channelize_apply(s0, zp, plan, channel_major=True)
+            np.testing.assert_allclose(
+                cplx.to_numpy(y_fm).T, cplx.to_numpy(y_cm), atol=1e-5
+            )
+            np.testing.assert_allclose(
+                cplx.to_numpy(s1), cplx.to_numpy(s2), atol=0
+            )
+            # streaming: second block continues identically
+            s1b, y2_fm = chan.channelize_apply(s1, zp, plan)
+            s2b, y2_cm = chan.channelize_apply(s2, zp, plan, channel_major=True)
+            np.testing.assert_allclose(
+                cplx.to_numpy(y2_fm).T, cplx.to_numpy(y2_cm), atol=1e-5
+            )

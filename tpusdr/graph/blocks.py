@@ -202,10 +202,37 @@ class Fir(Block):
         # probed faster than the hand-written Pallas kernel at every
         # production shape (benchmarks/fir_mxu_probe.py: 5018 vs 4636
         # Msps(in) at the WBFM RF stage, 4085 vs 518 over poly at stage 1);
-        # mode='pallas' keeps the kernel path reachable.
+        # mode='pallas' keeps the VPU kernel path reachable; mode='banded'
+        # selects the r3 banded MXU kernel with VMEM-assembled windows
+        # (kernels/fir_banded_pallas.py).
         if self.mode == "pallas":
             return self._apply_pallas(state, x)
+        if self.mode == "banded":
+            return self._apply_banded(state, x)
         return fir.fir_apply(state, x, self.taps, self.decimation, self.mode)
+
+    def _apply_banded(self, state, x):
+        """Banded MXU kernel with windows assembled in VMEM; falls back to
+        the XLA mxu path off-TPU or for shapes the kernel rejects."""
+        from tpusdr.kernels.dispatch import pallas_mode
+        from tpusdr.kernels.fir_banded_pallas import banded_fir_pallas, eligible
+        from tpusdr.ops import cplx as _cplx
+
+        mode = pallas_mode()
+        t_np = np.asarray(self.taps)
+        if (
+            mode == "xla"
+            or not _cplx.is_pair(x)
+            or x.ndim != 1
+            or not eligible(t_np.shape[-1], self.decimation, np.iscomplexobj(t_np))
+        ):
+            return fir.fir_apply(state, x, self.taps, self.decimation, "mxu")
+        ext = _cplx.concat([_cplx.ensure_pair(state), x], axis=-1)
+        y = banded_fir_pallas(
+            ext, t_np, self.decimation, interpret=(mode == "interpret")
+        )
+        t = t_np.shape[-1]
+        return ext[..., ext.shape[-1] - (t - 1) :], y
 
     def _pallas_eligible(self, x) -> bool:
         """Pair input, real taps, decimation >= 2, unbatched stream."""
@@ -391,6 +418,28 @@ class FreqShiftFir(Block):
             jnp.asarray((self.taps * np.sin(ang)).astype(np.float32)),
         )
 
+    def _banded(self, ext):
+        """Banded MXU kernel (VMEM windows) for the folded complex-tap FIR;
+        falls back to the XLA mxu path off-TPU / for rejected shapes."""
+        from tpusdr.kernels.dispatch import pallas_mode
+        from tpusdr.kernels.fir_banded_pallas import banded_fir_pallas, eligible
+
+        mode = pallas_mode()
+        if (
+            mode == "xla"
+            or ext.re.ndim != 1
+            or not eligible(len(self.taps), self.decimation, True)
+        ):
+            return fir.fir_extended(ext, self._mod_taps(), self.decimation, "mxu")
+        mt = self._mod_taps()
+        taps_np = np.asarray(mt.re) + 1j * np.asarray(mt.im)
+        return banded_fir_pallas(
+            ext,
+            taps_np.astype(np.complex64),
+            self.decimation,
+            interpret=(mode == "interpret"),
+        )
+
     def init_state(self, batch_shape=()):
         from tpusdr.ops import cplx as _cplx
 
@@ -409,7 +458,10 @@ class FreqShiftFir(Block):
 
         xp = _cplx.ensure_pair(x)
         ext = _cplx.concat([state["tail"], xp], axis=-1)
-        v = fir.fir_extended(ext, self._mod_taps(), self.decimation, self.mode)
+        if self.mode == "banded":
+            v = self._banded(ext)
+        else:
+            v = fir.fir_extended(ext, self._mod_taps(), self.decimation, self.mode)
         rot = osc.complex_cosine_block(
             state["phase"],
             np.uint32(int(self.inc) * self.decimation % (1 << 32)),
@@ -869,13 +921,9 @@ class Channelizer(Block):
 
     def apply(self, state, x):
         plan = self._plan(x.shape[-1])
-        new_state, y = chanops.channelize_apply(state, x, plan)
-        # (..., F, M) -> (..., M, F): channel-major so downstream per-channel
-        # blocks see time on the last axis and channels as a batch axis.
-        from tpusdr.ops import cplx as _cplx
-
-        if _cplx.is_pair(y):
-            y = _cplx.Complex(jnp.moveaxis(y.re, -1, -2), jnp.moveaxis(y.im, -1, -2))
-        else:
-            y = jnp.moveaxis(y, -1, -2)
-        return new_state, y
+        # channel-major output (..., M, F): downstream per-channel blocks
+        # see time on the last axis.  Computed natively in that layout —
+        # the r2 form (row-major + post-transpose) left every intermediate
+        # with a narrow M-lane minor axis, measured as config 4's
+        # bottleneck (ops/channelizer.py channelize_apply docstring).
+        return chanops.channelize_apply(state, x, plan, channel_major=True)

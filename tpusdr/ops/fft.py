@@ -109,6 +109,13 @@ def _dft_core(x: Complex, inverse: bool) -> Complex:
     return out.reshape(batch + (n,))
 
 
+def dft_mats(n: int, inverse: bool = False) -> tuple[np.ndarray, np.ndarray]:
+    """(w_re, w_im) DFT matrix constants, W[j, k] = exp(sign*2pi i jk/n) —
+    for callers contracting along a non-last axis (e.g. the channel-major
+    channelizer's cross-branch DFT, ops/channelizer.py)."""
+    return _dft_mats(n, inverse)
+
+
 def dft(x: Complex) -> Complex:
     """Forward DFT along the last axis (pair in, pair out)."""
     return _dft_core(x, inverse=False)

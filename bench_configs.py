@@ -29,17 +29,30 @@ import numpy as np
 
 
 def _measure_chain(chain, xs_np, ks=(8, 32, 64), reps: int = 5) -> dict:
-    """Marginal per-tick seconds of chain.apply under lax.scan."""
+    """Marginal per-tick seconds of chain.apply under lax.scan.
+
+    ``xs_np`` holds a FEW unique ticks; they are tiled up to max(ks) on
+    device (one small upload + an HBM-speed copy).  Uploading max(ks) host
+    ticks measured >25 min for the 4 GB config-3/4 stacks through this
+    box's tunnel — the r3 config-4 run timed out on the upload alone."""
     import jax
+    import jax.numpy as jnp
     from jax import lax
 
     from tpusdr.ops import cplx
     from tpusdr.utils.profiling import scan_marginal
 
+    def tile_to(a_np, k):
+        a = jax.device_put(a_np)
+        rep = -(-k // a_np.shape[0])  # ceil
+        reps_shape = (rep,) + (1,) * (a_np.ndim - 1)
+        return jax.jit(lambda v: jnp.tile(v, reps_shape))(a)[:k]
+
+    k_max = max(ks)
     if isinstance(xs_np, cplx.Complex):
-        xs = cplx.Complex(jax.device_put(xs_np.re), jax.device_put(xs_np.im))
+        xs = cplx.Complex(tile_to(xs_np.re, k_max), tile_to(xs_np.im, k_max))
     else:
-        xs = jax.device_put(xs_np)
+        xs = tile_to(xs_np, k_max)
     state0 = jax.device_put(chain.init_state())
 
     @jax.jit
@@ -109,7 +122,7 @@ def config2() -> dict:
         lambda: rng.integers(-128, 128, size=2 * tick, dtype=np.int8).view(
             np.int16
         ),
-        256,
+        16,  # unique ticks; tiled to max(ks) on device (_measure_chain)
     )
     m = _measure_chain(chain, xs, ks=(16, 96, 176, 256), reps=6)
     return {
@@ -132,8 +145,8 @@ def _wbfm(use_fused: bool) -> dict:
     # long scan arms: this fast chain (~0.5 ms/tick) measured 21% slope
     # spread at ks<=64 (VERDICT r2 weak #1); 4 arms -> interquartile spread.
     xs = cplx.Complex(
-        _stack_ticks(lambda: rng.standard_normal(tick).astype(np.float32), 256),
-        _stack_ticks(lambda: rng.standard_normal(tick).astype(np.float32), 256),
+        _stack_ticks(lambda: rng.standard_normal(tick).astype(np.float32), 16),
+        _stack_ticks(lambda: rng.standard_normal(tick).astype(np.float32), 16),
     )
     m = _measure_chain(chain, xs, ks=(16, 96, 176, 256), reps=6)
     v = round(tick / m["per_tick"] / 1e6, 2)
@@ -164,8 +177,8 @@ def config4() -> dict:
     # channel-major channelizer (r3) put this chain in the multi-Gsps
     # regime: same long 4-arm scans as configs 2/3
     xs = cplx.Complex(
-        _stack_ticks(lambda: rng.standard_normal(tick).astype(np.float32), 256),
-        _stack_ticks(lambda: rng.standard_normal(tick).astype(np.float32), 256),
+        _stack_ticks(lambda: rng.standard_normal(tick).astype(np.float32), 16),
+        _stack_ticks(lambda: rng.standard_normal(tick).astype(np.float32), 16),
     )
     m = _measure_chain(chain, xs, ks=(16, 96, 176, 256), reps=6)
     return {

@@ -82,6 +82,44 @@ class TestConvert:
         np.testing.assert_allclose(z.real, x[0::2] / 128.0, atol=1e-7)
         np.testing.assert_allclose(z.imag, x[1::2] / 128.0, atol=1e-7)
 
+    def test_wire_formats_bit_exact(self):
+        """All three wire formats (int8/int16 packed words, f32 strided)
+        deinterleave bit-exactly vs numpy — none via a 2-wide minor axis
+        (VERDICT r2 next #9)."""
+        rng = np.random.default_rng(7)
+        n = 4096
+        # int8 wire bytes -> packed int16 words (free host view)
+        x8 = rng.integers(-128, 128, size=2 * n, dtype=np.int8)
+        z8 = cplx.to_numpy(
+            convert.int8_words_to_complex(jnp.asarray(convert.pack_int8_words(x8)))
+        )
+        np.testing.assert_array_equal(z8.real, x8[0::2].astype(np.float32) / 128)
+        np.testing.assert_array_equal(z8.imag, x8[1::2].astype(np.float32) / 128)
+        # int16 wire -> packed int32 words
+        x16 = rng.integers(-32768, 32768, size=2 * n, dtype=np.int16)
+        z16 = cplx.to_numpy(
+            convert.int16_words_to_complex(jnp.asarray(convert.pack_int16_words(x16)))
+        )
+        np.testing.assert_array_equal(z16.real, x16[0::2].astype(np.float32) / 32768)
+        np.testing.assert_array_equal(z16.imag, x16[1::2].astype(np.float32) / 32768)
+        # f32 interleaved -> strided slices; == the reshape form bit-exactly
+        xf = rng.standard_normal(2 * n).astype(np.float32)
+        zf = cplx.to_numpy(convert.interleaved_to_complex(jnp.asarray(xf)))
+        np.testing.assert_array_equal(zf.real, xf[0::2])
+        np.testing.assert_array_equal(zf.imag, xf[1::2])
+        # batched leading axis keeps working
+        xb = xf.reshape(4, -1)
+        zb = convert.interleaved_to_complex(jnp.asarray(xb))
+        np.testing.assert_array_equal(np.asarray(zb.re), xb[:, 0::2])
+        np.testing.assert_array_equal(np.asarray(zb.im), xb[:, 1::2])
+
+    def test_interleave_roundtrip(self):
+        rng = np.random.default_rng(3)
+        xf = rng.standard_normal(512).astype(np.float32)
+        z = convert.interleaved_to_complex(jnp.asarray(xf))
+        back = np.asarray(convert.complex_to_interleaved(z))
+        np.testing.assert_array_equal(back, xf)
+
     def test_float_int16_roundtrip(self):
         x = jnp.array([-1.5, -1.0, -0.5, 0.0, 0.5, 1.0, 1.5], dtype=jnp.float32)
         y = np.asarray(convert.float_to_int16(x))

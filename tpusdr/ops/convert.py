@@ -34,9 +34,17 @@ def float_to_int16(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def interleaved_to_complex(x: jnp.ndarray) -> Complex:
-    """[i0, q0, i1, q1, ...] float (..., 2N) -> Complex pair of length N."""
-    x = x.reshape(x.shape[:-1] + (x.shape[-1] // 2, 2))
-    return Complex(x[..., 0], x[..., 1])
+    """[i0, q0, i1, q1, ...] float (..., 2N) -> Complex pair of length N.
+
+    Deinterleaves with flat stride-2 slices: f32 pairs have no wider word
+    to pack into on this backend (no f64/i64), so unlike the int formats
+    the split must happen on device — and the reshape-to-(N, 2)-and-slice
+    form leaves the 2-wide minor axis that TPU tiles to 128 lanes (the
+    int8 path's 13x trap, benchmarks/profile_am_stages.py).  Strided
+    slices keep every intermediate flat; Mosaic lowers them to lane
+    shuffles (benchmarks/float_front_probe.py).  Bit-exact vs the reshape
+    form (tests/test_osc_convert.py)."""
+    return Complex(x[..., 0::2], x[..., 1::2])
 
 
 def complex_to_interleaved(x: Complex) -> jnp.ndarray:

@@ -74,6 +74,8 @@ class ResamplerPlan:
     block_out: int
     # (block_out, Pmax) per-output tap rows (phase-selected, zero-padded)
     tap_rows: np.ndarray = field(repr=False)
+    # the original prototype (for the up == 1 decimating-FIR fast path)
+    taps: np.ndarray = field(repr=False, default=None)
 
     @property
     def history(self) -> int:
@@ -108,6 +110,7 @@ def make_plan(taps: np.ndarray, up: int, down: int, block_in: int) -> ResamplerP
         block_in=block_in,
         block_out=block_out,
         tap_rows=rows,
+        taps=np.asarray(taps, np.float32),
     )
 
 
@@ -183,11 +186,23 @@ def resample_apply(state, x, plan: ResamplerPlan):
     Equivalent to ``upfirdn(h, [zeros(history), x...], up, down)`` restricted
     to this block's output indices — verified against scipy in tests.
     Accepts real arrays, Complex pairs, or complex64 (CPU tests).
+
+    ``up == 1`` is a pure decimating FIR — upfirdn's y[m] = sum_i h[i] *
+    x[m*D - i] is fir_extended's banded-matmul contraction with the same
+    T-1 history — so it delegates to ops/fir (MXU path).  The general
+    resampler's frames carry a D-wide minor axis that TPU tiles to 128
+    lanes; at D=20 that alone capped config 4's audio stage at 1.56 Gsps
+    (benchmarks/profile_config_stages.py, 2026-08-20) while the banded FIR
+    runs the same math at multi-Gsps.
     """
     from tpusdr.ops import cplx
 
     if x.shape[-1] != plan.block_in:
         raise ValueError(f"expected block of {plan.block_in}, got {x.shape[-1]}")
+    if plan.up == 1 and plan.down > 1 and plan.taps is not None:
+        from tpusdr.ops import fir as _fir
+
+        return _fir.fir_apply(state, x, jnp.asarray(plan.taps), plan.down)
     hist = plan.history
 
     if cplx.is_complex(x):

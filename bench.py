@@ -8,9 +8,10 @@ the multiple of that rate this chip sustains.
 
 Methodology (utils/profiling.scan_marginal): the streaming step runs under
 lax.scan over K stacked ticks (state carried tick-to-tick — the production
-offline path, run_offline in graph/runner.py) at three scan lengths; the
-median of all pairwise slopes is the marginal per-tick cost, with the
-spread reported and a hard failure (no clamping) if the slopes disagree.
+offline path, run_offline in graph/runner.py) at four scan lengths visited
+round-robin; a Theil-Sen fit over all (k, time) points is the marginal
+per-tick cost, with the interquartile spread of the pairwise slopes
+reported as the error bar (always a number, never a crash — VERDICT r3 #1).
 This measures what the chip sustains, excluding this environment's ~40 ms
 per-dispatch tunnel round-trip (benchmarks/bw_probe.py), which a pipelined
 runner hides anyway (StreamRunner pipeline_depth).
@@ -70,7 +71,10 @@ def main() -> None:
     def run(state, xs):
         return lax.scan(chain.apply, state, xs)
 
-    m = scan_marginal(run, state0, xs, ks=ks, reps=6, max_spread=0.15)
+    # no max_spread: bench.py is the artifact emitter — it must emit a
+    # number with an honest error bar; the hard gate lives in
+    # tests/test_perf.py (VERDICT r3 next #1).
+    m = scan_marginal(run, state0, xs, ks=ks, reps=6)
     msps = tick / m["per_tick"] / 1e6
     print(
         json.dumps(

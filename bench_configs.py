@@ -174,8 +174,8 @@ def config4() -> dict:
     rng = np.random.default_rng(0)
     chain, _ = multichannel.fm_channel_bank(20.48e6, 64, 16000.0)
     tick = chain.granule * max(1, (1 << 21) // chain.granule)
-    # channel-major channelizer (r3) put this chain in the multi-Gsps
-    # regime: same long 4-arm scans as configs 2/3
+    # same long 4-arm scans as configs 2/3 (fast chains need long arms to
+    # clear the tunnel's dispatch jitter)
     xs = cplx.Complex(
         _stack_ticks(lambda: rng.standard_normal(tick).astype(np.float32), 16),
         _stack_ticks(lambda: rng.standard_normal(tick).astype(np.float32), 16),

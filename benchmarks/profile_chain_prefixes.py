@@ -57,17 +57,18 @@ def main() -> None:
     rng = np.random.default_rng(0)
 
     # one input upload, tiled on device (tunnel upload is minutes/GB)
+    rep = -(-K2 // 4)  # ceil: a K2 not divisible by 4 must still cover K2 ticks
     if full.blocks[0][1].in_dtype == jnp.complex64:
         base = cplx.Complex(
             jax.device_put(rng.standard_normal((4, tick)).astype(np.float32)),
             jax.device_put(rng.standard_normal((4, tick)).astype(np.float32)),
         )
         xs = jax.tree.map(
-            lambda a: jax.jit(lambda v: jnp.tile(v, (K2 // 4, 1)))(a), base
+            lambda a: jax.jit(lambda v: jnp.tile(v, (rep, 1)))(a)[:K2], base
         )
     else:
         b = rng.integers(-128, 128, size=(4, 2 * tick), dtype=np.int8).view(np.int16)
-        xs = jax.jit(lambda v: jnp.tile(v, (K2 // 4, 1)))(jax.device_put(b))
+        xs = jax.jit(lambda v: jnp.tile(v, (rep, 1)))(jax.device_put(b))[:K2]
 
     prev = 0.0
     for n in range(1, len(full.blocks) + 1):

@@ -160,3 +160,62 @@ def _pair(z):
     from tpusdr.ops import cplx
 
     return cplx.from_numpy(z)
+
+
+class TestJsonUpdates:
+    """updateParameters(json) parity (VERDICT r3 next #10): a
+    build_graph-built pipeline retuned from a JSON string with the
+    reference's camelCase keys."""
+
+    def _graph(self):
+        from tpusdr.graph.graph import build_graph
+
+        return build_graph(
+            {
+                "nodes": {
+                    "shift": {
+                        "type": "FreqShift",
+                        "sampleRate": 1e6,
+                        "frequency": -100e3,
+                    },
+                    "add": {"type": "AddConst", "addValue": 1.0},
+                },
+                "connections": [
+                    {"source": "shift", "sink": "add"},
+                ],
+                "inputPorts": [
+                    {"exposedPort": 0, "mapped": {"node": "shift", "port": 0}}
+                ],
+                "outputPort": {"node": "add", "port": 0},
+            }
+        )
+
+    def test_block_json_string(self):
+        blk = B.FreqShift(1e6, 100e3)
+        blk.update_parameters_json('{"frequency": -250e3}')
+        assert blk.frequency == -250e3
+        assert blk.inc == osc.freq_to_inc_u32(-250e3, 1e6)
+
+    def test_graph_json_camel_case(self):
+        g = self._graph()
+        g.update_block_parameters_json("add", '{"addValue": 7.5}')
+        assert g.get_block("add").add_value == 7.5
+
+    def test_runner_json_retune_end_to_end(self):
+        """Retune the shift NCO of a JSON-built graph from a JSON string
+        through the runner; the new frequency must take effect (re-jit)."""
+        g = self._graph()
+        runner = StreamRunner(g, donate_state=False)
+        fs, n = 1e6, 4096
+        x = _pair(_tone(100e3, fs, n))
+        st = runner.init_state()
+        _, y1 = runner._step(st, jax.device_put(x))
+        assert np.std(np.asarray(y1.re)[100:]) < 1e-3  # tone at DC (+1 const)
+        runner.update_parameters_json("shift", '{"frequency": -200e3}')
+        _, y2 = runner._step(st, jax.device_put(x))
+        assert np.std(np.asarray(y2.re)[100:]) > 0.5  # tone moved off DC
+
+    def test_chain_json_dict(self):
+        chain = Chain([("add", B.AddConst(1.0))])
+        chain.update_block_parameters_json("add", {"addValue": 2.0})
+        assert chain.get_block("add").add_value == 2.0

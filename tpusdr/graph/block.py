@@ -95,6 +95,20 @@ class Block:
         """Hook: recompute attributes derived from updated parameters
         (NCO increments, IIR coefficients, tap arrays...)."""
 
+    def update_parameters_json(self, payload) -> None:
+        """updateParameters(json) parity (Filter.h:36): accept a JSON
+        string or dict in the reference's camelCase schema and apply it —
+        the runtime counterpart of build_graph's key translation, so a
+        JSON-spec-driven app retunes nodes with the vocabulary it built
+        them with."""
+        import json as _json
+
+        from tpusdr.graph.graph import translate_params
+
+        if isinstance(payload, str):
+            payload = _json.loads(payload)
+        self.update_parameters(**translate_params(payload))
+
     # -- static rate arithmetic (replaces SteppingDriver's runtime
     #    min(preferred, available) negotiation, SteppingDriver.cpp:279-287) --
 

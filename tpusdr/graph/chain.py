@@ -110,6 +110,17 @@ class Chain(Block):
             )
         self._recompute_plan()
 
+    def update_block_parameters_json(self, name: str, payload) -> None:
+        """JSON-payload form of update_block_parameters (camelCase keys
+        accepted — Filter.h:36 updateParameters(json) parity)."""
+        import json as _json
+
+        from tpusdr.graph.graph import translate_params
+
+        if isinstance(payload, str):
+            payload = _json.loads(payload)
+        self.update_block_parameters(name, **translate_params(payload))
+
     def init_state(self, batch_shape: Sequence[int] = ()):
         state = {}
         shape = tuple(batch_shape)

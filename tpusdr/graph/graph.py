@@ -305,6 +305,13 @@ class Graph(Block):
                 f"{(b.up, b.down)}; rebuild the graph instead"
             )
 
+    def update_block_parameters_json(self, name: str, payload) -> None:
+        """JSON-payload form of update_block_parameters (camelCase keys
+        accepted — Filter.h:36 updateParameters(json) parity)."""
+        if isinstance(payload, str):
+            payload = _json.loads(payload)
+        self.update_block_parameters(name, **translate_params(payload))
+
     # ------------------------------------------------------------------
     # time-sharding hooks (parallel/halo.py) — the Chain equivalents
     # generalized over the DAG via the rate plan
@@ -481,6 +488,23 @@ def _snake(k: str) -> str:
     return _SNAKE_RE.sub("_", k).lower()
 
 
+def translate_params(spec: Mapping) -> dict:
+    """Reference-schema (camelCase) node parameters -> Block kwargs.
+
+    Shared by build_graph and the JSON updateParameters surface
+    (Block.update_parameters_json): same key translation on construction
+    and on runtime reconfiguration, so a JSON-spec-driven app can retune a
+    named node with the same vocabulary it built it with (Filter.h:36)."""
+    params = {}
+    for k, v in spec.items():
+        sk = _snake(k)
+        sk = _KEY_ALIASES.get(sk, sk)
+        if sk in _IGNORED_KEYS:
+            continue
+        params[sk] = v
+    return params
+
+
 def build_graph(spec: Mapping | str) -> Graph:
     """Build a Graph from a dict / JSON string in the reference Component
     schema (FilterDriverFactory.cpp:181-274)."""
@@ -494,14 +518,7 @@ def build_graph(spec: Mapping | str) -> Graph:
         if type_name == "Component":
             nodes[name] = build_graph(node_spec)
             continue
-        params = {}
-        for k, v in node_spec.items():
-            sk = _snake(k)
-            sk = _KEY_ALIASES.get(sk, sk)
-            if sk in _IGNORED_KEYS:
-                continue
-            params[sk] = v
-        nodes[name] = create_block(type_name, params)
+        nodes[name] = create_block(type_name, translate_params(node_spec))
 
     connections = [
         Edge(

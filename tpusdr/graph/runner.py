@@ -115,6 +115,16 @@ class StreamRunner:
             self.block.update_block_parameters(block_name, **params)
         self.refresh()
 
+    def update_parameters_json(self, block_name: str | None, payload) -> None:
+        """updateParameters(json) + re-jit: ``payload`` is a JSON string or
+        dict in the reference's camelCase schema (Filter.h:36); with
+        ``block_name`` it targets a member of a Chain/Graph."""
+        if block_name is None:
+            self.block.update_parameters_json(payload)
+        else:
+            self.block.update_block_parameters_json(block_name, payload)
+        self.refresh()
+
     def init_state(self):
         return self.block.init_state()
 

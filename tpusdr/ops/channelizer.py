@@ -161,8 +161,10 @@ def channelize_apply(state, x, plan: ChannelizerPlan, channel_major: bool = Fals
     layout: frames transposed once on entry, branch FIR along lanes, DFT as
     a (M, M) x (M, F) contraction — both the lane flip and the branch
     reversal are folded into the compile-time tap/DFT constants.  Same math
-    (float32-reassociated), ~an order of magnitude faster on v5e for M=64
-    because no intermediate has a narrow minor axis.
+    (float32-reassociated); avoids every narrow-minor-axis intermediate of
+    the row-major form (the fir_transpose_probe ~10x lane-waste trap).
+    Measured effect on the whole config-4 chain: see the committed
+    BENCH_configs / profile_config_stages artifacts for the round.
     """
     if x.shape[-1] != plan.block_in:
         raise ValueError(f"expected block of {plan.block_in}, got {x.shape[-1]}")

@@ -44,6 +44,10 @@ def interleaved_to_complex(x: jnp.ndarray) -> Complex:
     slices keep every intermediate flat; Mosaic lowers them to lane
     shuffles (benchmarks/float_front_probe.py).  Bit-exact vs the reshape
     form (tests/test_osc_convert.py)."""
+    if x.shape[-1] % 2:
+        raise ValueError(
+            f"interleaved IQ needs an even last axis, got {x.shape[-1]}"
+        )
     return Complex(x[..., 0::2], x[..., 1::2])
 
 

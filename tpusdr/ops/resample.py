@@ -199,10 +199,20 @@ def resample_apply(state, x, plan: ResamplerPlan):
 
     if x.shape[-1] != plan.block_in:
         raise ValueError(f"expected block of {plan.block_in}, got {x.shape[-1]}")
-    if plan.up == 1 and plan.down > 1 and plan.taps is not None:
-        from tpusdr.ops import fir as _fir
+    if plan.up == 1 and plan.down > 1:
+        if plan.taps is None:
+            # Plans built before the `taps` field existed (or constructed
+            # by hand instead of via make_plan) stay on the general path:
+            # correct but without the banded-MXU speedup (ADVICE r3).
+            from tpusdr.utils.logging import get_logger
 
-        return _fir.fir_apply(state, x, jnp.asarray(plan.taps), plan.down)
+            get_logger("resample").debug(
+                "up==1 plan without taps: general (slow) path"
+            )
+        else:
+            from tpusdr.ops import fir as _fir
+
+            return _fir.fir_apply(state, x, jnp.asarray(plan.taps), plan.down)
     hist = plan.history
 
     if cplx.is_complex(x):

@@ -151,7 +151,8 @@ def main(argv=None) -> int:
     elif ":" in args.input and not args.input.endswith((".iq", ".bin", ".dat", ".raw")):
         host, port = args.input.rsplit(":", 1)
         src = SocketIqSource(host, int(port), tick, args.format)
-        n_blocks = None
+        if args.duration <= 0:
+            n_blocks = None  # stream until the socket closes
     elif args.native:
         from tpusdr.io.native import NativeFileStream, deinterleave_to_planes
         from tpusdr.ops import cplx

@@ -19,3 +19,9 @@ from tpusdr.io.sinks import (  # noqa: F401
     RawFileSink,
     WavSink,
 )
+from tpusdr.io.shim import (  # noqa: F401
+    FakeSdrDriver,
+    RfShim,
+    SdrDriver,
+    Station,
+)

@@ -145,8 +145,11 @@ class SdrControlServer:
 
     Runs the wire protocol and dispatches each command to ``handler``
     (a callable ``handler(cmd: str, params: dict) -> Any``; raise to report
-    failure).  This is both the test stub and the starting point for a real
-    RF-host shim wrapping libhackrf/SoapySDR.
+    failure).  A handler returning a Mapping has its fields merged into the
+    reply — that is how the RF-host shim reports ``stream_pos`` (the data
+    stream byte position at which a retune took effect, the currency of the
+    retune-flush protocol — io/shim.py).  Used by the test stubs and by the
+    runnable shim (tpusdr.apps.rf_shim) wrapping a fake or real driver.
     """
 
     def __init__(self, handler: Callable[[str, dict], Any], host="127.0.0.1",
@@ -167,8 +170,9 @@ class SdrControlServer:
                         params = {
                             k: v for k, v in msg.items() if k not in ("seq", "cmd")
                         }
-                        outer.handler(cmd, params)
-                        reply = {"seq": seq, "ok": True}
+                        result = outer.handler(cmd, params)
+                        reply = dict(result) if isinstance(result, Mapping) else {}
+                        reply.update({"seq": seq, "ok": True})
                     except Exception as e:  # report, don't kill the session
                         reply = {"seq": seq, "ok": False, "error": str(e)}
                     self.wfile.write((json.dumps(reply) + "\n").encode("utf-8"))
@@ -208,10 +212,19 @@ class SdrReceiverControl:
       * ``tune_channel(hz)`` — hop to another channel inside the current
         capture bandwidth: device-side only (update the shift NCO, re-jit).
       * ``tune_radio(hz, channel_hz=None)`` — move the radio center
-        (control command) AND re-aim the NCO at the (possibly new) channel.
+        (control command) AND re-aim the NCO at the (possibly new) channel,
+        flushing in-flight IQ captured at the old center (see below).
 
     ``shift_block``: name of the FreqShift/FreqShiftFir stage in the chain
     (models/receiver.py names it "shift"/"shiftfir"/"shiftfir1").
+
+    ``source``: the SocketIqSource feeding the runner.  When given and the
+    control server reports ``stream_pos`` in its set_frequency reply (the
+    RF-host shim does, io/shim.py), ``tune_radio`` discards every data-
+    stream byte before that position — otherwise samples captured at the
+    old center still sitting in TCP buffers / the ingest queue would be
+    demodulated with the new NCO.  The reference gets the same clean cut
+    from stop/start framing (HackrfSource.cpp:263-283).
     """
 
     def __init__(
@@ -221,9 +234,11 @@ class SdrReceiverControl:
         center_hz: float,
         channel_hz: float,
         shift_block: str | None = None,
+        source=None,
     ):
         self.client = client
         self.runner = runner
+        self.source = source
         self.center_hz = float(center_hz)
         self.channel_hz = float(channel_hz)
         if shift_block is None:
@@ -256,8 +271,18 @@ class SdrReceiverControl:
 
     def tune_radio(self, center_hz: float, channel_hz: float | None = None) -> None:
         """Retune the radio center (HackrfSource start/stop freq surface)
-        and re-aim the device-side NCO in the same move."""
-        self.client.set_frequency(center_hz)
+        and re-aim the device-side NCO in the same move, flushing IQ
+        captured at the old center out of the ingest path."""
+        reply = self.client.set_frequency(center_hz)
+        if self.source is not None:
+            pos = reply.get("stream_pos")
+            if pos is not None and hasattr(self.source, "skip_until_byte"):
+                self.source.skip_until_byte(int(pos))
+            else:
+                log.warning(
+                    "retune without stream_pos/skip support: in-flight IQ "
+                    "captured at the old center will reach the demodulator"
+                )
         self.center_hz = float(center_hz)
         if channel_hz is not None:
             self.channel_hz = float(channel_hz)

@@ -193,15 +193,24 @@ class SocketIqSource:
         self._itemsize = np.dtype(dtype).itemsize
         self._scalars = 2 * self.block if input_format == "float32" else self.block
         self._dtype = dtype
-        self._q: queue.Queue[np.ndarray | None] = queue.Queue(maxsize=pool_blocks)
+        # queue items: (start_byte_offset, block) — offsets are the wire
+        # position of the block's first byte, the currency of the
+        # retune-flush protocol (skip_until_byte)
+        self._q: queue.Queue[tuple[int, np.ndarray] | None] = queue.Queue(
+            maxsize=pool_blocks
+        )
         self.timeout_s = timeout_s
         self.dropped_blocks = 0
+        #: blocks discarded by skip_until_byte (retune flush)
+        self.flushed_blocks = 0
+        self._skip_until = 0
         self._thread: threading.Thread | None = None
         self._stop = threading.Event()
 
     def _reader(self, sock: socket.socket) -> None:
         nbytes = self._scalars * self._itemsize
         buf = b""
+        framed = 0  # wire byte offset of the next block's first byte
         try:
             while not self._stop.is_set():
                 while len(buf) < nbytes:
@@ -220,8 +229,10 @@ class SocketIqSource:
                     buf += chunk
                 block = np.frombuffer(buf[:nbytes], dtype=self._dtype).copy()
                 buf = buf[nbytes:]
+                start = framed
+                framed += nbytes
                 try:
-                    self._q.put_nowait(block)
+                    self._q.put_nowait((start, block))
                 except queue.Full:
                     self.dropped_blocks += 1
                     if self.dropped_blocks % 100 == 1:
@@ -232,6 +243,17 @@ class SocketIqSource:
         finally:
             sock.close()
 
+    def skip_until_byte(self, wire_pos: int) -> None:
+        """Retune flush: discard every block containing wire bytes before
+        ``wire_pos`` (the server-reported stream position at which a
+        reconfiguration — e.g. a set_frequency — took effect).  Samples
+        captured at the old radio center still in flight (TCP buffers, the
+        reader queue) must not be demodulated with the new NCO; the
+        reference gets the same clean cut from its stop/start framing
+        (HackrfSource.cpp:263-283).  Blocks straddling the boundary are
+        dropped whole."""
+        self._skip_until = max(self._skip_until, int(wire_pos))
+
     def __iter__(self) -> Iterator[np.ndarray]:
         sock = socket.create_connection(self.addr, timeout=self.timeout_s)
         sock.settimeout(self.timeout_s)
@@ -241,14 +263,18 @@ class SocketIqSource:
         self._thread.start()
         while True:
             try:
-                block = self._q.get(timeout=self.timeout_s)
+                item = self._q.get(timeout=self.timeout_s)
             except queue.Empty:
                 raise TimeoutError(
                     f"no IQ data within {self.timeout_s}s (HackrfSource-style "
                     "read timeout)"
                 )
-            if block is None:
+            if item is None:
                 return
+            start, block = item
+            if start < self._skip_until:
+                self.flushed_blocks += 1
+                continue
             yield block
 
     def close(self) -> None:

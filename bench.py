@@ -58,12 +58,14 @@ def main() -> None:
     n_unique = 16
 
     rng = np.random.default_rng(0)
-    import jax.numpy as jnp
+    from tpusdr.utils.profiling import tile_ticks
 
-    tile = jax.jit(lambda v: jnp.tile(v, (max(ks) // n_unique, 1)))
-    xs = cplx.Complex(
-        tile(jax.device_put(rng.standard_normal((n_unique, tick)).astype(np.float32))),
-        tile(jax.device_put(rng.standard_normal((n_unique, tick)).astype(np.float32))),
+    xs = tile_ticks(
+        cplx.Complex(
+            rng.standard_normal((n_unique, tick)).astype(np.float32),
+            rng.standard_normal((n_unique, tick)).astype(np.float32),
+        ),
+        max(ks),
     )
     state0 = jax.device_put(chain.init_state())
 
@@ -74,7 +76,7 @@ def main() -> None:
     # no max_spread: bench.py is the artifact emitter — it must emit a
     # number with an honest error bar; the hard gate lives in
     # tests/test_perf.py (VERDICT r3 next #1).
-    m = scan_marginal(run, state0, xs, ks=ks, reps=6)
+    m = scan_marginal(run, state0, xs, ks=ks, reps=8)
     msps = tick / m["per_tick"] / 1e6
     print(
         json.dumps(
@@ -84,6 +86,7 @@ def main() -> None:
                 "unit": "Msamples/s",
                 "vs_baseline": round(msps / 20.0, 2),
                 "spread_pct": round(100 * m["spread"], 1),
+                "pair_spread_pct": round(100 * m["pair_spread"], 1),
             }
         )
     )

@@ -36,23 +36,11 @@ def _measure_chain(chain, xs_np, ks=(8, 32, 64), reps: int = 5) -> dict:
     ticks measured >25 min for the 4 GB config-3/4 stacks through this
     box's tunnel — the r3 config-4 run timed out on the upload alone."""
     import jax
-    import jax.numpy as jnp
     from jax import lax
 
-    from tpusdr.ops import cplx
-    from tpusdr.utils.profiling import scan_marginal
+    from tpusdr.utils.profiling import scan_marginal, tile_ticks
 
-    def tile_to(a_np, k):
-        a = jax.device_put(a_np)
-        rep = -(-k // a_np.shape[0])  # ceil
-        reps_shape = (rep,) + (1,) * (a_np.ndim - 1)
-        return jax.jit(lambda v: jnp.tile(v, reps_shape))(a)[:k]
-
-    k_max = max(ks)
-    if isinstance(xs_np, cplx.Complex):
-        xs = cplx.Complex(tile_to(xs_np.re, k_max), tile_to(xs_np.im, k_max))
-    else:
-        xs = tile_to(xs_np, k_max)
+    xs = tile_ticks(xs_np, max(ks))
     state0 = jax.device_put(chain.init_state())
 
     @jax.jit

@@ -28,13 +28,20 @@ def main() -> None:
     from tpusdr.ops import cplx
     from tpusdr.utils.profiling import scan_marginal
 
+    from tpusdr.utils.profiling import tile_ticks
+
     fs = 20e6
     tick = 1 << 21
     ks = (8, 64, 128)
     rng = np.random.default_rng(0)
-    xs = cplx.Complex(
-        jax.device_put(rng.standard_normal((max(ks), tick)).astype(np.float32)),
-        jax.device_put(rng.standard_normal((max(ks), tick)).astype(np.float32)),
+    # few unique host ticks, tiled on device (full stack would be a 2 GB
+    # host upload = minutes through the tunnel, CLAUDE.md)
+    xs = tile_ticks(
+        cplx.Complex(
+            rng.standard_normal((8, tick)).astype(np.float32),
+            rng.standard_normal((8, tick)).astype(np.float32),
+        ),
+        max(ks),
     )
 
     import scipy.signal as sps

@@ -55,14 +55,16 @@ def main() -> None:
     ks = (8, 64, 128)
     rng = np.random.default_rng(0)
 
+    from tpusdr.utils.profiling import tile_ticks
+
     def make_xs():
-        return cplx.Complex(
-            jax.device_put(
-                rng.standard_normal((max(ks), tick)).astype(np.float32)
+        # few unique host ticks, tiled on device (tunnel upload is slow)
+        return tile_ticks(
+            cplx.Complex(
+                rng.standard_normal((8, tick)).astype(np.float32),
+                rng.standard_normal((8, tick)).astype(np.float32),
             ),
-            jax.device_put(
-                rng.standard_normal((max(ks), tick)).astype(np.float32)
-            ),
+            max(ks),
         )
 
     xs_fleet = {name: make_xs() for name in fleet}

@@ -25,14 +25,19 @@ def main() -> None:
 
     from tpusdr.models import receiver
     from tpusdr.ops import cplx, fir
-    from tpusdr.utils.profiling import scan_marginal
+    from tpusdr.utils.profiling import scan_marginal, tile_ticks
 
     tick = 1 << 21
     ks = (4, 24, 48)
     rng = np.random.default_rng(0)
-    xs = cplx.Complex(
-        jax.device_put(rng.standard_normal((max(ks), tick)).astype(np.float32)),
-        jax.device_put(rng.standard_normal((max(ks), tick)).astype(np.float32)),
+    # few unique host ticks tiled on device: a direct 768 MB device_put
+    # through this box's tunnel costs minutes (CLAUDE.md)
+    xs = tile_ticks(
+        cplx.Complex(
+            rng.standard_normal((8, tick)).astype(np.float32),
+            rng.standard_normal((8, tick)).astype(np.float32),
+        ),
+        max(ks),
     )
     out = {}
 

@@ -207,3 +207,24 @@ class TestBlockedIir:
             ys.append(np.asarray(y))
         ref = sps.lfilter([b], [1, -a], x)
         np.testing.assert_allclose(np.concatenate(ys), ref, atol=2e-5)
+
+    def test_blocked_nondivisible_length_padded_path(self, rng):
+        """Lengths >= the cliff but NOT a multiple of _BLOCK must still take
+        the blocked path via zero padding (config 4's 32760-frame channels
+        fell through to the associative scan and cost 10x, r4)."""
+        import scipy.signal as sps
+
+        from tpusdr.ops import iir
+
+        a, b = iir.single_pole_coeffs(75e-6, 320e3)
+        n = 32760  # 20.48e6 / 64 channels * 0.1024 s tick; % 256 == 248
+        assert n >= iir._BLOCKED_MIN_N and n % iir._BLOCK != 0
+        x = rng.standard_normal((2, n)).astype(np.float32)
+        st = iir.single_pole_init((2,))
+        st2, y = iir.single_pole_apply(st, jnp.asarray(x), a, b)
+        ref = sps.lfilter([b], [1, -a], x, axis=-1)
+        np.testing.assert_allclose(np.asarray(y), ref, atol=2e-5)
+        # carry is the true last output, not a padded sample
+        np.testing.assert_allclose(
+            np.asarray(st2)[:, 0], ref[:, -1], atol=2e-5
+        )

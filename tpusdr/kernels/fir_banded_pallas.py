@@ -9,10 +9,12 @@ assembles A in VMEM from a single streaming read of the signal:
     1. DMA (R + pad rows, G) of decimation row-chunks (G = c*D samples,
        row-major so the host-side reshape is free) HBM -> VMEM, for both
        planes;
-    2. build A[r, i] = x[(k*R + r)*G + i] (width Kpad) by concatenating
-       shifted row slices — pure VMEM traffic;
-    3. 2 (real taps) or 4 (complex taps) MXU matmuls against the constant
-       banded tap matrix W[i, j] = h_rev[i - j*D];
+    2. the window matrix A[r, i] = x[(k*R + r)*G + i] (width Kpad) is
+       never materialized: the contraction splits over its q+1 row-slice
+       parts, A @ W = sum_j A_j @ W_j, with each A_j realigned to sublane
+       offset 0 by a cyclic roll — pure VMEM traffic;
+    3. 2 (real taps) or 4 (complex taps) MXU matmuls per part against the
+       constant banded tap matrix W[i, j] = h_rev[i - j*D];
     4. write the (R, c) decimated output tile(s).
 
 HBM traffic: one read of the signal + the decimated write — the window
@@ -103,31 +105,55 @@ def _kernel(
     cp_r.wait()
     cp_i.wait()
 
-    def windows(s):
-        # A[r] = x[(kR + r)*G : ... + kpad]: q full-G parts + one tail part
-        parts = [s[j : j + R, :] for j in range(q)]
-        w_last = kpad - q * G
-        if w_last > 0:
-            parts.append(s[q : q + R, :w_last])
-        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
-
-    ar = windows(sr[:])
-    ai = windows(si[:])
-
     dot = functools.partial(
         jnp.dot,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
+
+    # The window matrix A[r] = x[(kR + r)*G : ... + kpad] spans q+1 row
+    # slices of the scratch; instead of concatenating them (Mosaic rejects
+    # tpu.concatenate of operands at different sublane offsets, and
+    # relayouting a sublane-shifted matmul operand compiled pathologically
+    # — the 2026-08-20 chip probe never finished), split the contraction
+    # over the band:
+    #   A @ W = sum_j A_j @ W_j
+    # with A_j realigned to sublane offset 0 via a roll (row r of
+    # roll(s, -j) is s[r + j]), so every matmul operand is layout-clean:
+    w_last = kpad - q * G
+    parts = [(j, G) for j in range(q)]
+    if w_last > 0:
+        parts.append((q, w_last))
+
+    def shifted(s, j):
+        # roll requires a non-negative shift: rotating by rows-j is the
+        # same cyclic permutation as by -j, so row r of the result is
+        # s[r + j] for every r < rows - j (the only rows we slice).
+        return s if j == 0 else pltpu.roll(s, dma_rows - j, 0)
+
+    def banded_dot(shifts, w):
+        # contract with ALL dma_rows rows and slice the product: a
+        # row-SLICED lhs at this K hangs the chip (2026-08-20 bisect:
+        # (24 of 32, 6400) @ (6400, 128) never completes, full-rows and
+        # narrow-K slices are fine).  The extra rows are one MXU pass —
+        # the row dim is far under the 128 tile either way.
+        acc = None
+        for (j, width), s_j in zip(parts, shifts):
+            term = dot(s_j[:, :width], w[j * G : j * G + width, :])
+            acc = term if acc is None else acc + term
+        return acc[0:R, :]
+
+    sr_v = [shifted(sr[:], j) for j, _ in parts]
+    si_v = [shifted(si[:], j) for j, _ in parts]
     if cplx_taps:
         wr = wr_ref[:]
         wi = wi_ref[:]
-        or_ref[:] = dot(ar, wr) - dot(ai, wi)
-        oi_ref[:] = dot(ar, wi) + dot(ai, wr)
+        or_ref[:] = banded_dot(sr_v, wr) - banded_dot(si_v, wi)
+        oi_ref[:] = banded_dot(sr_v, wi) + banded_dot(si_v, wr)
     else:
         wr = wr_ref[:]
-        or_ref[:] = dot(ar, wr)
-        oi_ref[:] = dot(ai, wr)
+        or_ref[:] = banded_dot(sr_v, wr)
+        oi_ref[:] = banded_dot(si_v, wr)
 
 
 def banded_fir_pallas(
@@ -210,6 +236,10 @@ def banded_fir_pallas(
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
+        # Mosaic's default 16 MB scoped-vmem budget rejects the relayout
+        # copies of the sublane-shifted matmul operands at WBFM shapes
+        # (measured 33.3 MB on v5e, 2026-08-20); the chip has 128 MB VMEM.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 << 20),
         interpret=interpret,
     )(fr, fi, wr, wi)
     return cplx.Complex(yr.reshape(-1)[:M], yi.reshape(-1)[:M])

@@ -163,8 +163,9 @@ def channelize_apply(state, x, plan: ChannelizerPlan, channel_major: bool = Fals
     reversal are folded into the compile-time tap/DFT constants.  Same math
     (float32-reassociated); avoids every narrow-minor-axis intermediate of
     the row-major form (the fir_transpose_probe ~10x lane-waste trap).
-    Measured effect on the whole config-4 chain: see the committed
-    BENCH_configs / profile_config_stages artifacts for the round.
+    Measured on v5e (r4, PROFILE_r04.json): the 64-channel channelizer
+    stage runs at 4.0 Gsps alone / 5.7 Gsps as a composed prefix — the
+    chain bottleneck moved downstream (the deemphasis IIR, since fixed).
     """
     if x.shape[-1] != plan.block_in:
         raise ValueError(f"expected block of {plan.block_in}, got {x.shape[-1]}")

@@ -115,9 +115,20 @@ def single_pole_apply(
     Long blocks take the blocked MXU form (_first_order_blocked); short or
     non-divisible blocks fall back to the associative scan.  Both are exact
     solutions of the same recurrence (float32-reassociated)."""
+    n = x.shape[-1]
     bx = jnp.asarray(b, x.dtype) * x
-    if x.shape[-1] >= _BLOCKED_MIN_N and x.shape[-1] % _BLOCK == 0:
-        y = _first_order_blocked(a, bx, state, _BLOCK)
+    if n >= _BLOCKED_MIN_N:
+        # Non-divisible lengths zero-pad up to the block multiple: outputs
+        # depend only on the past, so y[..., :n] is exact and the padded
+        # tail is discarded.  (Config 4's 32760-frame channels fell through
+        # to the associative scan here and cost 2.9 ms/tick composed —
+        # 10x the whole rest of the chain; r4 prefix profile.)
+        pad = (-n) % _BLOCK
+        if pad:
+            bxp = jnp.pad(bx, [(0, 0)] * (bx.ndim - 1) + [(0, pad)])
+            y = _first_order_blocked(a, bxp, state, _BLOCK)[..., :n]
+        else:
+            y = _first_order_blocked(a, bx, state, _BLOCK)
     else:
         y = _first_order_scan(jnp.asarray(a, x.dtype), bx, state)
     new_state = lax.slice_in_dim(y, y.shape[-1] - 1, y.shape[-1], axis=-1)

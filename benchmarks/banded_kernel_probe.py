@@ -68,8 +68,11 @@ def main() -> None:
         )
 
     for mode in ("auto", "banded"):
+        # use_fused=False: this compares FIR modes INSIDE the unfused
+        # chain; the fused-vs-unfused chain comparison is bench_configs
+        # configs 3 vs 5.
         chain, _ = receiver.fm_receiver(
-            fs, 2.5e6, receiver.WBFM, 48000.0, fir_mode=mode
+            fs, 2.5e6, receiver.WBFM, 48000.0, fir_mode=mode, use_fused=False
         )
         t2 = chain.granule * max(1, tick // chain.granule)
 

@@ -186,6 +186,36 @@ class TestBandedFirKernel:
         np.testing.assert_allclose(np.asarray(y1.re), np.asarray(y2.re), atol=1e-5)
         np.testing.assert_allclose(np.asarray(y1.im), np.asarray(y2.im), atol=1e-5)
 
+    def test_freqshiftfir_banded_under_scan(self, rng):
+        """mode='banded' must trace under lax.scan (the chip probe crashed
+        on a numpy conversion of traced modulated taps, r4)."""
+        import jax
+        import scipy.signal as sps
+        from jax import lax
+
+        from tpusdr.graph import blocks as B
+
+        t = sps.firwin(89, 0.05).astype(np.float32)
+        k, n = 3, 4096
+        z = (rng.standard_normal((k, n)) + 1j * rng.standard_normal((k, n))).astype(
+            np.complex64
+        )
+        xs = cplx.from_numpy(z)
+        blk = B.FreqShiftFir(1e6, -150e3, t, 8, mode="banded")
+
+        @jax.jit
+        def run(state, xs):
+            return lax.scan(blk.apply, state, xs)
+
+        _, ys = run(blk.init_state(), xs)
+        # eager per-tick application agrees
+        st = blk.init_state()
+        for i in range(k):
+            st, y = blk.apply(st, xs[i])
+            np.testing.assert_allclose(
+                np.asarray(ys.re[i]), np.asarray(y.re), atol=1e-5
+            )
+
     def test_fused_fm_banded_matches_xla(self, rng):
         """FusedFmDemod's banded path (interpret) == its XLA reference."""
         import os

@@ -120,6 +120,8 @@ def main(argv=None) -> int:
             deviation=args.deviation,
             deemphasis_tau=None if args.no_deemphasis else receiver.TAU_US,
             input_format=chain_format,
+            # the IF tap needs the unfused shift->FIR->demod stages
+            use_fused=False if args.dump_if else "auto",
         )
 
     tick = max(1, args.tick // chain.granule) * chain.granule

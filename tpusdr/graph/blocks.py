@@ -405,22 +405,32 @@ class FreqShiftFir(Block):
         self.initial_phase = float(initial_phase)
         self.history = len(self.taps) - 1
 
-    def _mod_taps(self):
+    def _mod_taps_np(self) -> np.ndarray:
         """taps[j] * e^{j theta(T-1-j)} — angles from the exact uint32
-        accumulator, evaluated in float64 (compile-time constants)."""
-        from tpusdr.ops import cplx as _cplx
-
+        accumulator, evaluated in float64 (host-side compile-time
+        constants; must stay numpy so tracing never captures them)."""
         T = len(self.taps)
         k = (T - 1 - np.arange(T)) * int(self.inc) % (1 << 32)
         ang = k.astype(np.float64) * (2.0 * np.pi / 2.0**32)
+        return (self.taps * np.exp(1j * ang)).astype(np.complex64)
+
+    def _mod_taps(self):
+        from tpusdr.ops import cplx as _cplx
+
+        t = self._mod_taps_np()
         return _cplx.Complex(
-            jnp.asarray((self.taps * np.cos(ang)).astype(np.float32)),
-            jnp.asarray((self.taps * np.sin(ang)).astype(np.float32)),
+            jnp.asarray(t.real.copy()), jnp.asarray(t.imag.copy())
         )
 
     def _banded(self, ext):
         """Banded MXU kernel (VMEM windows) for the folded complex-tap FIR;
-        falls back to the XLA mxu path off-TPU / for rejected shapes."""
+        falls back to the XLA mxu path off-TPU / for rejected shapes.
+
+        Measured on v5e (r4, PROFILE_r04.json): the ISOLATED stage is
+        faster on the XLA mxu path (6893 vs 5648 Msps at T=546/D=50), so
+        'banded' is NOT the default here; the kernel earns its keep inside
+        FusedFmDemod, where the fused chain beats the unfused one
+        (4982.6 vs 4674.6 Msps, BENCH_configs_r04.json)."""
         from tpusdr.kernels.dispatch import pallas_mode
         from tpusdr.kernels.fir_banded_pallas import banded_fir_pallas, eligible
 
@@ -431,11 +441,9 @@ class FreqShiftFir(Block):
             or not eligible(len(self.taps), self.decimation, True)
         ):
             return fir.fir_extended(ext, self._mod_taps(), self.decimation, "mxu")
-        mt = self._mod_taps()
-        taps_np = np.asarray(mt.re) + 1j * np.asarray(mt.im)
         return banded_fir_pallas(
             ext,
-            taps_np.astype(np.complex64),
+            self._mod_taps_np(),
             self.decimation,
             interpret=(mode == "interpret"),
         )

@@ -130,7 +130,7 @@ def fm_receiver(
     input_format: str = "cf32",
     db_attenuation: float = -60.0,
     fir_mode: str = "auto",
-    use_fused: bool = False,
+    use_fused: bool | str = "auto",
     multistage: bool = True,
     fold_shift: bool = True,
 ) -> tuple[Chain, ReceiverSpec]:
@@ -141,7 +141,12 @@ def fm_receiver(
     RfToPcmAudioFactory.cpp:224-226, sign folded into the NCO).
 
     ``use_fused=True`` replaces shift -> FIR -> demod with the single fused
-    Pallas kernel (graph/blocks.py FusedFmDemod).
+    Pallas kernel (graph/blocks.py FusedFmDemod).  The default "auto"
+    takes the fused front end exactly when it measured faster: the
+    decimation plan collapses to one stage anyway and the banded kernel
+    accepts the shape (wbfm 20 Msps: fused 4982.6 vs unfused 4674.6 Msps,
+    BENCH_configs_r04.json); multi-stage plans keep the unfused cascade
+    (fewer MACs than one big stage).
 
     ``multistage=True`` splits a large RF decimation into a spec-equivalent
     cascade (design.decimation_stages) — ~2-4x fewer MACs/input at D=50
@@ -160,7 +165,7 @@ def fm_receiver(
     # createLowPassTaps spec, RfToPcmAudioFactory.cpp:151-166 style).
     cutoff = channel_width / 2.0
     transition = channel_width / 2.0
-    if multistage and not use_fused:
+    if multistage and use_fused is not True:
         rf_stages = design.decimation_stages(
             rf_sample_rate, cutoff, transition, db_attenuation, d1
         )
@@ -168,6 +173,14 @@ def fm_receiver(
         rf_stages = [
             (design.lowpass_taps(rf_sample_rate, cutoff, transition, db_attenuation), d1)
         ]
+    if use_fused == "auto":
+        # fused front end only where it measured faster: the plan is a
+        # single stage anyway and the banded MXU kernel takes the shape.
+        from tpusdr.kernels.fir_banded_pallas import eligible
+
+        use_fused = len(rf_stages) == 1 and eligible(
+            len(rf_stages[0][0]), d1, complex_taps=True
+        )
     rf_taps = rf_stages[0][0]  # single-stage taps for the fused path
 
     gain = demod.quad_fm_demod_gain(quad_rate, channel_width)

@@ -52,7 +52,11 @@ def main() -> None:
     }
     tick = 1 << 18  # 256k samples/pipeline/tick: small per-member work, the
     # regime where dispatch overlap matters
-    ks = (8, 64, 128)
+    # long arms: these chains run a tick in 0.03-0.12 ms, so ks up to 128
+    # left the k-gap (~12 ms) inside the tunnel's dispatch jitter and
+    # measured 38-155% spreads (r4 first run); 1024-tick arms stretch the
+    # gap to ~100 ms.
+    ks = (64, 512, 1024)
     rng = np.random.default_rng(0)
 
     from tpusdr.utils.profiling import tile_ticks

@@ -24,7 +24,9 @@ pytestmark = pytest.mark.perf
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BASELINE = os.path.join(REPO, "PERF_BASELINE.json")
-MIN_RATIO = 0.8
+# 0.82 of a 3-run-median floor: catches a 20% regression, passes the
+# worst observed tunnel scatter (-8% of median, PERF_BASELINE comment).
+MIN_RATIO = 0.82
 
 
 @pytest.mark.skipif(
@@ -38,7 +40,9 @@ def test_headline_no_regression():
         [sys.executable, os.path.join(REPO, "benchmarks", "perf_gate.py")],
         capture_output=True,
         text=True,
-        timeout=540,
+        # tunnel compile times are bimodal: the same perf_gate measured
+        # 4 min on one run and >9 on the next (r4) — 540 s false-failed
+        timeout=1200,
         env=env,
         cwd=REPO,
     )

@@ -262,3 +262,49 @@ class TestLiveSourcePacing:
             for _ in src:
                 pass
         srv.close()
+
+
+class TestRunnerUploadThread:
+    """StreamRunner's upload thread (H2D of tick i+1 overlapped with
+    compute of tick i) must be a pure performance feature: identical
+    outputs/stats to the inline path, and source errors still surface."""
+
+    def _chain(self):
+        from tpusdr.graph import blocks as B
+        from tpusdr.graph.chain import Chain
+
+        return Chain([("scale", B.AddConst(0.5))])
+
+    def test_staged_equals_inline(self):
+        from tpusdr.graph.runner import StreamRunner
+
+        rng = np.random.default_rng(7)
+        blocks = [rng.standard_normal(256).astype(np.float32) for _ in range(9)]
+        outs = []
+        for depth in (0, 2):
+            runner = StreamRunner(self._chain(), upload_depth=depth)
+            sink = CollectSink()
+            _, stats = runner.run(iter(blocks), sink)
+            outs.append(np.concatenate(sink.blocks))
+            assert stats.blocks == 9 and stats.samples_in == 9 * 256
+        np.testing.assert_array_equal(outs[0], outs[1])
+
+    def test_source_error_propagates(self):
+        from tpusdr.graph.runner import StreamRunner
+
+        def bad_source():
+            yield np.zeros(256, np.float32)
+            raise OSError("wire fell out")
+
+        runner = StreamRunner(self._chain(), upload_depth=2)
+        with pytest.raises(OSError, match="wire fell out"):
+            runner.run(bad_source(), NullSink())
+
+    def test_max_blocks_with_thread(self):
+        from tpusdr.graph.runner import StreamRunner
+
+        blocks = (np.zeros(256, np.float32) for _ in range(100))
+        runner = StreamRunner(self._chain(), upload_depth=2)
+        sink = CollectSink()
+        _, stats = runner.run(blocks, sink, max_blocks=3)
+        assert stats.blocks == 3

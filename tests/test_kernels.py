@@ -215,6 +215,9 @@ class TestBandedFirKernel:
             np.testing.assert_allclose(
                 np.asarray(ys.re[i]), np.asarray(y.re), atol=1e-5
             )
+            np.testing.assert_allclose(
+                np.asarray(ys.im[i]), np.asarray(y.im), atol=1e-5
+            )
 
     def test_fused_fm_banded_matches_xla(self, rng):
         """FusedFmDemod's banded path (interpret) == its XLA reference."""

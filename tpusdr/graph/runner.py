@@ -11,12 +11,20 @@ GPU compute against the CPU consumer (src/filters/Waiter.cpp:34-50):
     device_put + step for tick i+1 while tick i still computes, and only
     blocks when fetching tick i-depth's output for the sink (the Waiter
     ping-pong, depth-N instead of depth-1);
+  * an upload thread overlaps the H2D transfer of block i+1 with the
+    device compute (and output fetch) of block i — the producer/consumer
+    split the reference gets from its USB callback thread + BufferPool
+    (HackrfSource.cpp:175-201), applied to the host->device boundary,
+    which on upload-bound links (this box's tunnel; any PCIe host at
+    100 MHz rates) is the pacing resource;
   * samples-in/out counters + wall-clock throughput (the observability the
     reference lacks, SURVEY.md section 5).
 """
 
 from __future__ import annotations
 
+import queue as _queue
+import threading
 import time
 from collections import deque
 from dataclasses import dataclass, field
@@ -72,10 +80,16 @@ class StreamRunner:
         pipeline_depth: int = 2,
         device=None,
         queue=None,
+        upload_depth: int = 2,
     ):
         """``queue``: a CommandQueue or registered queue name (graph/queues
         .py — the reference's named ICudaCommandQueue surface); it selects
-        the device when ``device`` is not given explicitly."""
+        the device when ``device`` is not given explicitly.
+
+        ``upload_depth``: how many ticks an upload thread may stage on the
+        device ahead of compute (0 disables the thread and uploads
+        inline).  Staging overlaps H2D of tick i+1 with compute/fetch of
+        tick i; the cap bounds device memory for in-flight inputs."""
         self.block = block
         if queue is not None and device is None:
             from tpusdr.graph.queues import get_queue_registry
@@ -86,6 +100,7 @@ class StreamRunner:
         self.queue = queue
         self.device = device
         self.pipeline_depth = pipeline_depth
+        self.upload_depth = upload_depth
 
         self._donate = donate_state
         self._build_step()
@@ -175,27 +190,66 @@ class StreamRunner:
 
         t0 = time.perf_counter()
 
-        for i, raw in enumerate(source):
-            if max_blocks is not None and i >= max_blocks:
-                break
+        def upload(raw):
             if cplx.is_pair(raw):
                 # host-side pair (native deinterleave path): upload planes
-                x = cplx.Complex(
+                return cplx.Complex(
                     jax.device_put(raw.re, self.device),
                     jax.device_put(raw.im, self.device),
                 )
-            elif np.iscomplexobj(raw):
+            if np.iscomplexobj(raw):
                 # The device path is pair-native (no complex dtype on TPU):
                 # split on the host, upload two float planes.
-                x = cplx.Complex(
+                return cplx.Complex(
                     jax.device_put(np.ascontiguousarray(raw.real), self.device),
                     jax.device_put(np.ascontiguousarray(raw.imag), self.device),
                 )
-            else:
-                x = jax.device_put(raw, self.device)
+            return jax.device_put(raw, self.device)
+
+        def bounded():
+            for i, raw in enumerate(source):
+                if max_blocks is not None and i >= max_blocks:
+                    return
+                yield raw
+
+        if self.upload_depth > 0:
+            # Upload thread: read + device_put the NEXT blocks while the
+            # main thread runs compute and output fetch on the current one.
+            # The queue holds device arrays, so a put that has completed
+            # means the transfer is at least enqueued with the runtime;
+            # depth bounds in-flight device memory.
+            uq: _queue.Queue = _queue.Queue(maxsize=self.upload_depth)
+            _END = object()
+
+            def feeder():
+                try:
+                    for raw in bounded():
+                        uq.put((raw.shape[-1], upload(raw)))
+                except BaseException as e:  # propagate into the main loop
+                    uq.put((_END, e))
+                    return
+                uq.put((_END, None))
+
+            th = threading.Thread(target=feeder, daemon=True)
+            th.start()
+
+            def staged():
+                while True:
+                    n, item = uq.get()
+                    if n is _END:
+                        if item is not None:
+                            raise item
+                        return
+                    yield n, item
+
+            blocks = staged()
+        else:
+            blocks = ((raw.shape[-1], upload(raw)) for raw in bounded())
+
+        for n_in, x in blocks:
             state, y = self._step(state, x)
             stats.blocks += 1
-            stats.samples_in += raw.shape[-1]
+            stats.samples_in += n_in
             pending.append(y)
             if len(pending) > self.pipeline_depth:
                 drain(pending.popleft())

@@ -39,6 +39,10 @@ _DTYPES = {
 #: Identical bytes, friendlier device layout: sub-word int8 arrays load 5x
 #: slower on v5e than the same bytes viewed as words
 #: (benchmarks/int8_front_probe.py; graph/blocks.py IqToComplex).
+# queue sentinel: the reader's socket went silent (distinct from a clean
+# EOF, which enqueues None) — the consumer raises TimeoutError on it
+_SILENT = object()
+
 _WORD_DTYPES = {
     "int8": np.int16,
     "int16": np.int32,
@@ -216,10 +220,18 @@ class SocketIqSource:
                 while len(buf) < nbytes:
                     try:
                         chunk = sock.recv(1 << 16)
-                    except (TimeoutError, OSError) as e:
-                        # socket died or went silent: end the stream like a
-                        # device unplug (the consumer's own q.get timeout is
-                        # the HackrfSource 5 s read-timeout analog)
+                    except TimeoutError as e:
+                        # the wire went silent: propagate as the
+                        # HackrfSource-style read timeout.  The consumer's
+                        # own q.get timer covers the same condition; this
+                        # sentinel makes whoever fires first report the SAME
+                        # outcome instead of racing a clean EOF against a
+                        # TimeoutError (r4 load flake, tests/test_io.py).
+                        log.warning("socket ingest reader timed out: %s", e)
+                        self._q.put(_SILENT)
+                        return
+                    except OSError as e:
+                        # socket died: end the stream like a device unplug
                         log.warning("socket ingest reader stopped: %s", e)
                         self._q.put(None)
                         return
@@ -265,6 +277,11 @@ class SocketIqSource:
             try:
                 item = self._q.get(timeout=self.timeout_s)
             except queue.Empty:
+                raise TimeoutError(
+                    f"no IQ data within {self.timeout_s}s (HackrfSource-style "
+                    "read timeout)"
+                )
+            if item is _SILENT:
                 raise TimeoutError(
                     f"no IQ data within {self.timeout_s}s (HackrfSource-style "
                     "read timeout)"

@@ -63,7 +63,15 @@ def _plan(T: int, D: int):
 
 
 def eligible(T: int, D: int, complex_taps: bool) -> bool:
-    """Shapes this kernel handles well: decimating, tap matrix in VMEM."""
+    """Shapes this kernel handles well: decimating, tap matrix in VMEM.
+
+    The w_bytes cap also bounds the Mosaic scoped-VMEM footprint (scratch
+    + relayout copies of the rolled operands, measured 33.3 MB for the
+    WBFM shape) under the 96 MB compiler budget below: the largest
+    admitted shapes of both tap kinds were verified COMPILED on chip —
+    real_250_125 (kpad=16128, w at the 8 MB cap) and cplx_546_50, both
+    rel err <= 2e-7 vs the XLA mxu path (benchmarks/banded_verify.py,
+    PROFILE_r04.json banded_verify rows)."""
     if D < 2:
         return False  # non-decimating: better served by fir_pallas / XLA
     _, kpad, q = _plan(T, D)
@@ -217,8 +225,8 @@ def banded_fir_pallas(
         ),
         grid=(n_prog,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],

@@ -96,8 +96,8 @@ def _fir_decim_call(xr, xi, taps, decimation, block_b, interpret):
         functools.partial(_kernel, B=B, P=P, D=D, rows=dma_rows),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # h_poly, full
         ],
         out_specs=(

@@ -185,8 +185,8 @@ def _fused_call(xr, xi, taps, phase0, decimation, inc_u32, gain, block_b, interp
         grid=(m_pad // B,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # phase0 (1,)
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((B,), lambda k: (k,), memory_space=pltpu.VMEM),

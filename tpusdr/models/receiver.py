@@ -174,12 +174,22 @@ def fm_receiver(
             (design.lowpass_taps(rf_sample_rate, cutoff, transition, db_attenuation), d1)
         ]
     if use_fused == "auto":
-        # fused front end only where it measured faster: the plan is a
-        # single stage anyway and the banded MXU kernel takes the shape.
+        # fused front end only where it measured faster: on-chip compiled
+        # Pallas (interpret mode on CPU measured ~1.6x SLOWER than the
+        # unfused XLA chain — ADVICE r4), the plan is a single stage
+        # anyway, and the banded MXU kernel takes the shape.  Explicit
+        # fold_shift=False / fir_mode overrides keep the unfused cascade:
+        # FusedFmDemod always folds the shift and picks its own kernel, so
+        # resolving True would silently ignore the caller's choice.
+        from tpusdr.kernels.dispatch import pallas_mode
         from tpusdr.kernels.fir_banded_pallas import eligible
 
-        use_fused = len(rf_stages) == 1 and eligible(
-            len(rf_stages[0][0]), d1, complex_taps=True
+        use_fused = (
+            pallas_mode() == "compiled"
+            and fold_shift
+            and fir_mode == "auto"
+            and len(rf_stages) == 1
+            and eligible(len(rf_stages[0][0]), d1, complex_taps=True)
         )
     rf_taps = rf_stages[0][0]  # single-stage taps for the fused path
 

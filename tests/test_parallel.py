@@ -328,3 +328,86 @@ class Test2DMesh:
             s, r = unsharded.apply(s, blk)
             assert np.asarray(a).shape == np.asarray(r).shape == (m, tick // m)
             assert_shard_stable(a, r)
+
+
+def run_sharded_stagewise(chain, x_pair, ticks, mesh):
+    tss = TimeShardedStream(chain, mesh, stagewise=True)
+    carry = tss.init_carry()
+    outs = []
+    n = x_pair.shape[-1] // ticks
+    for i in range(ticks):
+        carry, y = tss.step(carry, x_pair[..., i * n : (i + 1) * n])
+        outs.append(np.asarray(y) if not cplx.is_pair(y) else cplx.to_numpy(y))
+    return np.concatenate(outs, axis=-1)
+
+
+class TestStagewiseHalo:
+    """Per-stage-rate halos (stagewise=True): each stage exchanges its
+    lookback at its OWN rate instead of one chain-wide input-rate halo —
+    the redundant-compute fix that makes the 100 MHz scaling story close
+    (benchmarks/scaling_model.py).  Must match unsharded exactly like the
+    chain-wide halo does."""
+
+    def test_fir_cascade_matches_unsharded(self, rng):
+        mesh = make_mesh(8)
+        chain = Chain(
+            [
+                ("fir1", B.Fir(lp(65), 4)),
+                ("fir2", B.Fir(lp(17), 2)),
+            ]
+        )
+        total = 8 * 4096
+        z = (rng.standard_normal(total) + 1j * rng.standard_normal(total)).astype(
+            np.complex64
+        )
+        zp = cplx.from_numpy(z)
+        ref = run_unsharded(chain, zp, 2)
+        shd = run_sharded_stagewise(chain, zp, 2, mesh)
+        assert_shard_stable(shd, ref)
+
+    def test_wbfm_receiver_stagewise(self, rng):
+        """Full WBFM chain (shiftfir -> demod -> deemph -> resampler) with
+        per-stage halos across 8 devices == unsharded, streamed across
+        tick boundaries (the cross-tick per-stage tail carries)."""
+        mesh = make_mesh(8)
+        chain, spec = receiver.fm_receiver(2e6, freq_offset=200e3)
+        tick = 8 * chain.granule * max(1, (1 << 16) // (8 * chain.granule))
+        total = 3 * tick
+        t = np.arange(total) / 2e6
+        audio = np.sin(2 * np.pi * 1000 * t)
+        ph = 2 * np.pi * 200e3 * t + 2 * np.pi * 75e3 * np.cumsum(audio) / 2e6
+        z = np.exp(1j * ph).astype(np.complex64)
+        zp = cplx.from_numpy(z)
+        ref = run_unsharded(chain, zp, 3)
+        shd = run_sharded_stagewise(chain, zp, 3, mesh)
+        assert_shard_stable(shd, ref, snr_db=-80.0)
+
+    def test_stagewise_halo_is_smaller(self):
+        """The whole point: per-stage halos never inflate a decimated
+        stage's lookback by the upstream rate ratio."""
+        mesh = make_mesh(8)
+        chain, _ = receiver.fm_receiver(20e6, freq_offset=2.5e6)
+        tss = TimeShardedStream(chain, mesh, stagewise=True)
+        stage_cost = sum(h for _n, _b, h, _s, _bs in tss._stages)
+        # chain-wide halo re-computes ~chain.history input samples per
+        # shard (40000 at 20 MHz); stagewise re-computes each stage's own
+        # history at its own rate (~1400 sample-equivalents) — the
+        # decimation ratio never inflates a downstream stage's lookback
+        assert stage_cost < tss.halo / 20
+
+    def test_channelizer_stagewise(self, rng):
+        mesh = make_mesh(4)
+        chain = Chain(
+            [
+                ("chan", B.Channelizer(8, taps_per_channel=6)),
+                ("fir", B.Fir(lp(17), 1, "FloatComplex")),
+            ]
+        )
+        total = 8 * 128 * 4
+        z = (rng.standard_normal(total) + 1j * rng.standard_normal(total)).astype(
+            np.complex64
+        )
+        zp = cplx.from_numpy(z)
+        ref = run_unsharded(chain, zp, 2)
+        shd = run_sharded_stagewise(chain, zp, 2, mesh)
+        assert_shard_stable(shd, ref)

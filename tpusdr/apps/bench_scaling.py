@@ -24,6 +24,11 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", default="1,2,4,8")
     ap.add_argument("--mode", choices=["time", "channels"], default="time")
+    ap.add_argument(
+        "--stagewise",
+        action="store_true",
+        help="per-stage-rate halos (parallel/halo.py stagewise=True)",
+    )
     ap.add_argument("--rf-rate", type=float, default=2e6)
     ap.add_argument("--tick", type=int, default=1 << 19)
     ap.add_argument("--iters", type=int, default=5)
@@ -57,7 +62,7 @@ def main(argv=None) -> int:
         mesh = make_mesh(n_dev)
         if args.mode == "time":
             chain, _ = receiver.fm_receiver(args.rf_rate, 200e3, receiver.WBFM)
-            tss = TimeShardedStream(chain, mesh)
+            tss = TimeShardedStream(chain, mesh, stagewise=args.stagewise)
             g = tss.tick_granule
             tick = max(1, args.tick // g) * g
             z = (
@@ -105,7 +110,11 @@ def main(argv=None) -> int:
     base = results[0]["msps"]
     for r in results:
         r["scaling_efficiency"] = round(r["msps"] / (base * r["devices"]), 3)
-    print(json.dumps({"mode": args.mode, "results": results}))
+    print(
+        json.dumps(
+            {"mode": args.mode, "stagewise": args.stagewise, "results": results}
+        )
+    )
     return 0
 
 

@@ -75,11 +75,26 @@ class TimeShardedStream:
         mesh: Mesh,
         axis: str | tuple[str, ...] = "dev",
         halo: int | None = None,
+        stagewise: bool = False,
     ):
+        """``stagewise``: exchange a separate halo per STAGE, each at that
+        stage's own input rate, instead of one chain-wide halo at the
+        input rate.  A stage's lookback costs its own rate, not the
+        input rate: the WBFM de-emphasis warmup is ~500 quad-rate samples,
+        which the chain-wide halo inflates by the full RF decimation into
+        ~50k input samples of redundant front-end compute per shard per
+        tick.  At the 100 MHz design point the chain-wide halo is ~206k
+        input samples — at 256 shards of a 1 s tick that is 53% redundant
+        compute, vs ~1% stagewise (benchmarks/scaling_model.py).  Costs
+        one extra ppermute per stateful stage (tiny, latency-bound).
+        Requires a Chain (stage list); Graphs use the chain-wide halo."""
         self.full_chain = chain
         self.chain, self.tail_chain = chain.split_shardable()
         if isinstance(self.chain, Chain) and not self.chain.blocks:
             raise ValueError("chain has no time-shardable prefix")
+        self.stagewise = bool(stagewise)
+        if self.stagewise and not isinstance(self.chain, Chain):
+            raise ValueError("stagewise halos need a Chain (per-stage plan)")
         self.mesh = mesh
         # one or several mesh axes (e.g. ('host', 'chip') on a 2-D DCN x ICI
         # mesh); collectives treat the tuple as one flattened ring, so the
@@ -91,6 +106,20 @@ class TimeShardedStream:
         self.halo = round_up(max(h, 1), self.chain.granule)
         # outputs to drop per shard (the halo's outputs)
         self.skip = self.halo * self.chain.up // self.chain.down
+        if self.stagewise:
+            # (name, block, h_pad, skip, batch_shape): h_pad is the stage's
+            # warmup halo in ITS OWN input samples, rounded to the stage
+            # granule so the dropped output count h_pad*up/down is exact.
+            self._stages = []
+            bshape: tuple[int, ...] = ()
+            for name, b in self.chain.blocks:
+                g = max(b.granule, 1)
+                h_pad = round_up(b.history, g) if b.history > 0 else 0
+                self._stages.append(
+                    (name, b, h_pad, h_pad * b.up // b.down, bshape)
+                )
+                if b.adds_channel_axis:
+                    bshape = bshape + (b.num_channels,)
         # tick must clear (a) shards * shardable-head granule for the halo
         # alignment and (b) the FULL chain's granule (the sequential tail —
         # e.g. an audio resampler — has its own divisibility needs).
@@ -111,7 +140,7 @@ class TimeShardedStream:
     def init_carry(self):
         carry = {
             "state": self.chain.init_state(),
-            "tail": self._zero_tail(),
+            "tail": self._zero_tails() if self.stagewise else self._zero_tail(),
         }
         if self.tail_chain is not None:
             carry["tail_state"] = self.tail_chain.init_state(
@@ -123,6 +152,20 @@ class TimeShardedStream:
         if self.chain.in_dtype == jnp.complex64:
             return cplx.zeros((self.halo,))
         return jnp.zeros((self.halo,), dtype=self.chain.in_dtype)
+
+    def _zero_tails(self):
+        """Per-stage zero halos: each stage's tail in its own input
+        dtype/rate, with any channel axis added by upstream stages."""
+        tails = {}
+        for name, b, h_pad, _skip, bshape in self._stages:
+            if h_pad == 0:
+                continue
+            shape = bshape + (h_pad,)
+            if b.in_dtype == jnp.complex64:
+                tails[name] = cplx.zeros(shape)
+            else:
+                tails[name] = jnp.zeros(shape, dtype=b.in_dtype)
+        return tails
 
     # -- the sharded step ---------------------------------------------------
 
@@ -159,6 +202,76 @@ class TimeShardedStream:
         out_spec = P(*([None] * (ndim_out - 1) + [axis]))
         out_specs = jax.tree_util.tree_map(
             lambda _: out_spec, self._example_y(per_shard)
+        )
+
+        fn = jax.shard_map(
+            sharded_fn,
+            mesh=self.mesh,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def _build_step_stagewise(self, per_shard: int):
+        """Per-stage-rate halos: each stateful stage ppermutes its OWN
+        input tail (at that stage's rate) right, warms up cold, and drops
+        the halo's outputs — the chain-wide overlap-save trick applied at
+        every rate boundary, so a decimated stage's lookback is never
+        re-computed through the full-rate front end."""
+        chain = self.chain
+        axis, shards = self.axis, self.shards
+        stages = self._stages
+        # static per-stage per-shard input lengths
+        n_k = [per_shard]
+        for _, b, _, _, _ in stages[:-1]:
+            n_k.append(b.out_len(n_k[-1]))
+        for (name, b, h_pad, _s, _bs), n in zip(stages, n_k):
+            if h_pad > n:
+                raise ValueError(
+                    f"stage {name!r}: per-shard input {n} smaller than its "
+                    f"halo {h_pad}; use a longer tick or fewer shards"
+                )
+
+        def sharded_fn(carry_tails, state, x):
+            idx = lax.axis_index(axis)
+            perm = [(i, i + 1) for i in range(shards - 1)]
+            cur = x
+            my_tails = {}
+            for (name, b, h_pad, skip, _bs), n in zip(stages, n_k):
+                offset = idx.astype(jnp.int32) * n - h_pad
+                local_state = b.shift_state(state[name], offset)
+                if h_pad == 0:
+                    _, cur = b.apply(local_state, cur)
+                    continue
+                my_tail = jax.tree_util.tree_map(lambda a: _tail(a, h_pad), cur)
+                left = jax.tree_util.tree_map(
+                    lambda a: lax.ppermute(a, axis, perm), my_tail
+                )
+                halo_in = _select(idx == 0, carry_tails[name], left)
+                ext = jax.tree_util.tree_map(
+                    lambda a, c: jnp.concatenate([a, c], axis=-1), halo_in, cur
+                )
+                _, y_ext = b.apply(local_state, ext)
+                cur = jax.tree_util.tree_map(lambda a: a[..., skip:], y_ext)
+                my_tails[name] = my_tail
+            return cur, my_tails
+
+        tails0 = self._zero_tails()
+        in_specs = (
+            jax.tree_util.tree_map(lambda _: P(), tails0),
+            jax.tree_util.tree_map(lambda _: P(), self.chain.init_state()),
+            jax.tree_util.tree_map(lambda _: P(axis), self._example_x(per_shard)),
+        )
+
+        def last_axis_spec(leaf):
+            return P(*([None] * (leaf.ndim - 1) + [axis]))
+
+        ndim_out = 2 if self.chain.adds_channel_axis else 1
+        out_spec_y = P(*([None] * (ndim_out - 1) + [axis]))
+        out_specs = (
+            jax.tree_util.tree_map(lambda _: out_spec_y, self._example_y(per_shard)),
+            jax.tree_util.tree_map(last_axis_spec, tails0),
         )
 
         fn = jax.shard_map(
@@ -207,11 +320,30 @@ class TimeShardedStream:
                 f"per-shard length {per_shard} smaller than halo {self.halo}"
             )
         if per_shard not in self._step_cache:
-            self._step_cache[per_shard] = self._build_step(per_shard)
-        y = self._step_cache[per_shard](carry["tail"], carry["state"], x)
-
+            self._step_cache[per_shard] = (
+                self._build_step_stagewise(per_shard)
+                if self.stagewise
+                else self._build_step(per_shard)
+            )
         new_carry = dict(carry)
-        new_carry["tail"] = jax.tree_util.tree_map(lambda a: _tail(a, self.halo), x)
+        if self.stagewise:
+            y, tails = self._step_cache[per_shard](
+                carry["tail"], carry["state"], x
+            )
+            # next tick's shard-0 halo per stage = the end of this tick's
+            # global stage stream = the LAST shard's stage-input tail
+            new_carry["tail"] = {
+                name: jax.tree_util.tree_map(
+                    lambda a, h=h_pad: _tail(a, h), tails[name]
+                )
+                for name, _b, h_pad, _s, _bs in self._stages
+                if h_pad > 0
+            }
+        else:
+            y = self._step_cache[per_shard](carry["tail"], carry["state"], x)
+            new_carry["tail"] = jax.tree_util.tree_map(
+                lambda a: _tail(a, self.halo), x
+            )
         new_carry["state"] = self.chain.advance_state(carry["state"], n)
 
         if self.tail_chain is not None:

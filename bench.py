@@ -85,6 +85,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "wbfm_chain_msps_per_chip",
+                "method": "scan_marginal_2m_ticks",
                 "value": round(msps, 2),
                 "unit": "Msamples/s",
                 "vs_baseline": round(msps / 20.0, 2),

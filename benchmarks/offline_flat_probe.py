@@ -18,6 +18,21 @@ Measures, with the same scan-marginal/Theil-Sen method as bench.py
   * isolated fused front end, scan vs flat    -> frontend_msps_{scan2m,flat}
 
 Run: nohup timeout 1750 python benchmarks/offline_flat_probe.py > /tmp/offline_flat.log 2>&1 &
+
+MEASURED (v5e 2026-08-21, r4 code): the hypothesis is FALSE — the flat
+whole-capture path is ~1.7x SLOWER, and the attribution is the front end
+itself, not the tail stages:
+
+    wbfm_chain_msps_scan2m 4866.9 (3.0%)   frontend_msps_scan2m 5671.7 (24%)
+    wbfm_chain_msps_flat   2820.0 (2.1%)   frontend_msps_flat   3268.6 (17%)
+
+Per 335M-sample arm the flat path allocates/frees ~5.4 GB of one-shot
+concat+pad buffers whose cost scales with length (so it lands in the
+marginal slope), while the scan path reuses the same 17 MB per-tick
+buffers for every iteration.  The scan over 2M ticks IS the right
+offline shape on this machine; the roofline levers are inside the tick
+(single-copy history prep + double-buffered kernel DMA,
+benchmarks/kernel_floor_probe.py), not in removing the scan.
 """
 
 from __future__ import annotations

@@ -2,7 +2,7 @@
 
 Smaller/faster than bench.py (one compile per metric, short scans) so the
 perf regression test (tests/test_perf.py) finishes in ~2 minutes.  Prints
-one JSON line: {"fir_mxu_msps": ..., "wbfm_chain_msps": ...}.
+one JSON line: {"fir_mxu_msps_perfgate": ..., "wbfm_chain_msps_perfgate": ...}.
 
 Run:  TPUSDR_PERF=1 python -m pytest tests/test_perf.py -m perf
  or:  python benchmarks/perf_gate.py
@@ -55,7 +55,7 @@ def main() -> None:
         return lax.scan(fir_step, state, xs)
 
     m = scan_marginal(fir_run, fir.fir_init_state(taps, "pair"), xs_d, ks=ks, reps=4)
-    out["fir_mxu_msps"] = round(tick_d / m["per_tick"] / 1e6, 1)
+    out["fir_mxu_msps_perfgate"] = round(tick_d / m["per_tick"] / 1e6, 1)
 
     # 2) the full WBFM receiver chain (bench.py headline, shorter scans)
     chain, _ = receiver.fm_receiver(20e6, 2.5e6, receiver.WBFM, 48000.0)
@@ -69,7 +69,7 @@ def main() -> None:
     m = scan_marginal(
         chain_run, jax.device_put(chain.init_state()), xs_c, ks=ks, reps=4
     )
-    out["wbfm_chain_msps"] = round(tick_c / m["per_tick"] / 1e6, 1)
+    out["wbfm_chain_msps_perfgate"] = round(tick_c / m["per_tick"] / 1e6, 1)
 
     print(json.dumps(out))
 

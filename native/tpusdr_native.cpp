@@ -118,6 +118,40 @@ size_t tsdr_ring_read(TsdrRing* r, uint8_t* dst, size_t n, int timeout_ms) {
   std::memcpy(dst, r->data + pos, first);
   if (first < n) std::memcpy(dst + first, r->data, n - first);
   r->tail.store(tail + n, std::memory_order_release);
+  {
+    // wake a producer blocked in tsdr_ring_write_wait (file backpressure)
+    std::lock_guard<std::mutex> lk(r->m);
+    r->cv.notify_all();
+  }
+  return n;
+}
+
+// Blocking write: wait for room instead of dropping (file playback
+// backpressure). Never touches the dropped counter — a drop means LOST
+// samples (live-source overrun, HackrfSource.cpp:184-187); a paused file
+// read loses nothing. Returns n, or 0 on close/timeout.
+size_t tsdr_ring_write_wait(TsdrRing* r, const uint8_t* src, size_t n,
+                            int timeout_ms) {
+  auto deadline =
+      std::chrono::steady_clock::now() + std::chrono::milliseconds(timeout_ms);
+  for (;;) {
+    uint64_t head = r->head.load(std::memory_order_relaxed);
+    uint64_t tail = r->tail.load(std::memory_order_acquire);
+    if (n <= r->capacity - static_cast<size_t>(head - tail)) break;
+    if (r->closed.load(std::memory_order_acquire)) return 0;
+    std::unique_lock<std::mutex> lk(r->m);
+    if (r->cv.wait_until(lk, deadline) == std::cv_status::timeout) return 0;
+  }
+  uint64_t head = r->head.load(std::memory_order_relaxed);
+  size_t pos = static_cast<size_t>(head % r->capacity);
+  size_t first = pos + n <= r->capacity ? n : r->capacity - pos;
+  std::memcpy(r->data + pos, src, first);
+  if (first < n) std::memcpy(r->data, src + first, n - first);
+  r->head.store(head + n, std::memory_order_release);
+  {
+    std::lock_guard<std::mutex> lk(r->m);
+    r->cv.notify_one();
+  }
   return n;
 }
 
@@ -147,10 +181,12 @@ static void file_reader_main(TsdrFileReader* fr) {
       }
       break;
     }
-    // Backpressure: wait for room instead of dropping (file playback).
+    // Backpressure: wait for room instead of dropping (file playback);
+    // the blocking write never counts a drop — nothing is lost, the
+    // fread is merely paused (the dropped counter stays a LIVE-overrun
+    // signal, so soak artifacts read 0 unless samples actually vanished)
     while (!fr->stop.load(std::memory_order_acquire) &&
-           tsdr_ring_write(fr->ring, buf, n) == 0) {
-      std::this_thread::sleep_for(std::chrono::microseconds(200));
+           tsdr_ring_write_wait(fr->ring, buf, n, 100) == 0) {
     }
   }
   std::free(buf);

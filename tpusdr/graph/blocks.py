@@ -422,7 +422,7 @@ class FreqShiftFir(Block):
             jnp.asarray(t.real.copy()), jnp.asarray(t.imag.copy())
         )
 
-    def _banded(self, ext):
+    def _banded(self, tail, x):
         """Banded MXU kernel (VMEM windows) for the folded complex-tap FIR;
         falls back to the XLA mxu path off-TPU / for rejected shapes.
 
@@ -437,15 +437,19 @@ class FreqShiftFir(Block):
         mode = pallas_mode()
         if (
             mode == "xla"
-            or ext.re.ndim != 1
+            or x.re.ndim != 1
             or not eligible(len(self.taps), self.decimation, True)
         ):
+            from tpusdr.ops import cplx as _cplx
+
+            ext = _cplx.concat([tail, x], axis=-1)
             return fir.fir_extended(ext, self._mod_taps(), self.decimation, "mxu")
         return banded_fir_pallas(
-            ext,
+            x,
             self._mod_taps_np(),
             self.decimation,
             interpret=(mode == "interpret"),
+            history=tail,
         )
 
     def init_state(self, batch_shape=()):
@@ -465,20 +469,26 @@ class FreqShiftFir(Block):
         from tpusdr.ops import cplx as _cplx
 
         xp = _cplx.ensure_pair(x)
-        ext = _cplx.concat([state["tail"], xp], axis=-1)
+        n = x.shape[-1]
+        hist = len(self.taps) - 1
         if self.mode == "banded":
-            v = self._banded(ext)
+            v = self._banded(state["tail"], xp)
+            if n >= hist:
+                new_tail = xp[..., n - hist :]
+            else:
+                new_tail = _cplx.concat([state["tail"], xp], axis=-1)[..., -hist:]
         else:
+            ext = _cplx.concat([state["tail"], xp], axis=-1)
             v = fir.fir_extended(ext, self._mod_taps(), self.decimation, self.mode)
+            new_tail = ext[..., ext.shape[-1] - hist :]
         rot = osc.complex_cosine_block(
             state["phase"],
             np.uint32(int(self.inc) * self.decimation % (1 << 32)),
             v.shape[-1],
         )
         y = v * rot
-        n = x.shape[-1]
         new_state = {
-            "tail": ext[..., ext.shape[-1] - (len(self.taps) - 1) :],
+            "tail": new_tail,
             "phase": state["phase"] + jnp.uint32(int(self.inc) * n % (1 << 32)),
         }
         return new_state, _cplx.maybe_native(y, x)
@@ -562,27 +572,44 @@ class FusedFmDemod(Block):
         from tpusdr.ops import cplx as _cplx
 
         mode = pallas_mode()
-        ext = _cplx.concat([state["tail"], x], axis=-1)
-        if mode == "xla":
-            y = self._apply_xla(state["phase"], ext)
-        elif eligible(len(self.taps), self.decimation, True) and ext.re.ndim == 1:
-            y = self._apply_banded(ext, interpret=(mode == "interpret"))
-        else:
-            from tpusdr.kernels.fm_pallas import fused_fm_demod_pallas
-
-            y = fused_fm_demod_pallas(
-                ext,
-                self.taps,
-                self.decimation,
-                self.inc,
-                state["phase"],
-                self.gain,
-                self.block_b,
-                interpret=(mode == "interpret"),
-            )
         n = x.shape[-1]
+        banded = (
+            mode != "xla"
+            and eligible(len(self.taps), self.decimation, True)
+            and x.re.ndim == 1
+        )
+        if banded:
+            # history handed to the kernel separately: the [tail, x, pad]
+            # row buffer is built in ONE copy instead of concat + pad
+            y = self._apply_banded(
+                x, state["tail"], interpret=(mode == "interpret")
+            )
+            if n >= self.history:
+                new_tail = x[..., n - self.history :]
+            else:
+                new_tail = _cplx.concat([state["tail"], x], axis=-1)[
+                    ..., -self.history :
+                ]
+        else:
+            ext = _cplx.concat([state["tail"], x], axis=-1)
+            if mode == "xla":
+                y = self._apply_xla(state["phase"], ext)
+            else:
+                from tpusdr.kernels.fm_pallas import fused_fm_demod_pallas
+
+                y = fused_fm_demod_pallas(
+                    ext,
+                    self.taps,
+                    self.decimation,
+                    self.inc,
+                    state["phase"],
+                    self.gain,
+                    self.block_b,
+                    interpret=(mode == "interpret"),
+                )
+            new_tail = ext[..., ext.shape[-1] - self.history :]
         new_state = {
-            "tail": ext[..., ext.shape[-1] - self.history :],
+            "tail": new_tail,
             "phase": state["phase"] + jnp.uint32((int(self.inc) * n) % (1 << 32)),
         }
         return new_state, y
@@ -595,7 +622,7 @@ class FusedFmDemod(Block):
         ang = k.astype(np.float64) * (2.0 * np.pi / 2.0**32)
         return (self.taps * np.exp(1j * ang)).astype(np.complex64)
 
-    def _apply_banded(self, ext, interpret: bool):
+    def _apply_banded(self, x, tail, interpret: bool):
         """Banded MXU kernel + audio-rate discriminator.
 
         With the shift folded into the taps, the filtered-decimated stream
@@ -607,7 +634,9 @@ class FusedFmDemod(Block):
         from tpusdr.kernels.fir_banded_pallas import banded_fir_pallas
         from tpusdr.ops import xmath
 
-        v = banded_fir_pallas(ext, self._mod_taps_np(), self.decimation, interpret)
+        v = banded_fir_pallas(
+            x, self._mod_taps_np(), self.decimation, interpret, history=tail
+        )
         prod = v[..., 1:] * v[..., :-1].conj()
         wd = (
             (int(self.inc) * self.decimation) % (1 << 32)

@@ -207,10 +207,14 @@ class StreamRunner:
             return jax.device_put(raw, self.device)
 
         def bounded():
+            # check the budget BEFORE pulling: the last pull must not
+            # consume (and discard) an extra block from a shared source
+            if max_blocks is not None and max_blocks <= 0:
+                return
             for i, raw in enumerate(source):
-                if max_blocks is not None and i >= max_blocks:
-                    return
                 yield raw
+                if max_blocks is not None and i + 1 >= max_blocks:
+                    return
 
         if self.upload_depth > 0:
             # Upload thread: read + device_put the NEXT blocks while the

@@ -93,10 +93,14 @@ def _kernel(
     wi_ref,
     or_ref,
     oi_ref,
-    sr,
-    si,
-    sem_r,
-    sem_i,
+    sr0,
+    si0,
+    sr1,
+    si1,
+    sem_r0,
+    sem_i0,
+    sem_r1,
+    sem_i1,
     *,
     R,
     G,
@@ -106,12 +110,34 @@ def _kernel(
     cplx_taps,
 ):
     k = pl.program_id(0)
-    cp_r = pltpu.make_async_copy(xr_ref.at[pl.ds(k * R, dma_rows), :], sr, sem_r)
-    cp_i = pltpu.make_async_copy(xi_ref.at[pl.ds(k * R, dma_rows), :], si, sem_i)
-    cp_r.start()
-    cp_i.start()
-    cp_r.wait()
-    cp_i.wait()
+    n = pl.num_programs(0)
+
+    def copies(kk, sr, si, sem_r, sem_i):
+        cr = pltpu.make_async_copy(xr_ref.at[pl.ds(kk * R, dma_rows), :], sr, sem_r)
+        ci = pltpu.make_async_copy(xi_ref.at[pl.ds(kk * R, dma_rows), :], si, sem_i)
+        return cr, ci
+
+    # Double-buffered DMA: program k computes from slot k%2 while the
+    # DMA engine fills slot (k+1)%2 with program k+1's rows — the grid is
+    # sequential on TPU, so without the prefetch every program stalls on
+    # its own HBM->VMEM copy before touching the MXU.
+    @pl.when(k == 0)
+    def _():
+        cr, ci = copies(0, sr0, si0, sem_r0, sem_i0)
+        cr.start()
+        ci.start()
+
+    @pl.when((k + 1 < n) & (k % 2 == 0))
+    def _():
+        cr, ci = copies(k + 1, sr1, si1, sem_r1, sem_i1)
+        cr.start()
+        ci.start()
+
+    @pl.when((k + 1 < n) & (k % 2 == 1))
+    def _():
+        cr, ci = copies(k + 1, sr0, si0, sem_r0, sem_i0)
+        cr.start()
+        ci.start()
 
     dot = functools.partial(
         jnp.dot,
@@ -139,29 +165,42 @@ def _kernel(
         # s[r + j] for every r < rows - j (the only rows we slice).
         return s if j == 0 else pltpu.roll(s, dma_rows - j, 0)
 
-    def banded_dot(shifts, w):
-        # contract with ALL dma_rows rows and slice the product: a
-        # row-SLICED lhs at this K hangs the chip (2026-08-20 bisect:
-        # (24 of 32, 6400) @ (6400, 128) never completes, full-rows and
-        # narrow-K slices are fine).  The extra rows are one MXU pass —
-        # the row dim is far under the 128 tile either way.
-        acc = None
-        for (j, width), s_j in zip(parts, shifts):
-            term = dot(s_j[:, :width], w[j * G : j * G + width, :])
-            acc = term if acc is None else acc + term
-        return acc[0:R, :]
+    def compute(sr, si, sem_r, sem_i):
+        cr, ci = copies(k, sr, si, sem_r, sem_i)
+        cr.wait()
+        ci.wait()
 
-    sr_v = [shifted(sr[:], j) for j, _ in parts]
-    si_v = [shifted(si[:], j) for j, _ in parts]
-    if cplx_taps:
-        wr = wr_ref[:]
-        wi = wi_ref[:]
-        or_ref[:] = banded_dot(sr_v, wr) - banded_dot(si_v, wi)
-        oi_ref[:] = banded_dot(sr_v, wi) + banded_dot(si_v, wr)
-    else:
-        wr = wr_ref[:]
-        or_ref[:] = banded_dot(sr_v, wr)
-        oi_ref[:] = banded_dot(si_v, wr)
+        def banded_dot(shifts, w):
+            # contract with ALL dma_rows rows and slice the product: a
+            # row-SLICED lhs at this K hangs the chip (2026-08-20 bisect:
+            # (24 of 32, 6400) @ (6400, 128) never completes, full-rows
+            # and narrow-K slices are fine).  The extra rows are one MXU
+            # pass — the row dim is far under the 128 tile either way.
+            acc = None
+            for (j, width), s_j in zip(parts, shifts):
+                term = dot(s_j[:, :width], w[j * G : j * G + width, :])
+                acc = term if acc is None else acc + term
+            return acc[0:R, :]
+
+        sr_v = [shifted(sr[:], j) for j, _ in parts]
+        si_v = [shifted(si[:], j) for j, _ in parts]
+        if cplx_taps:
+            wr = wr_ref[:]
+            wi = wi_ref[:]
+            or_ref[:] = banded_dot(sr_v, wr) - banded_dot(si_v, wi)
+            oi_ref[:] = banded_dot(sr_v, wi) + banded_dot(si_v, wr)
+        else:
+            wr = wr_ref[:]
+            or_ref[:] = banded_dot(sr_v, wr)
+            oi_ref[:] = banded_dot(si_v, wr)
+
+    @pl.when(k % 2 == 0)
+    def _():
+        compute(sr0, si0, sem_r0, sem_i0)
+
+    @pl.when(k % 2 == 1)
+    def _():
+        compute(sr1, si1, sem_r1, sem_i1)
 
 
 def banded_fir_pallas(
@@ -169,11 +208,22 @@ def banded_fir_pallas(
     taps,
     decimation: int,
     interpret: bool = False,
+    history: cplx.Complex | None = None,
 ) -> cplx.Complex:
     """Decimating FIR of an extended block (history prepended), complex
     data x real-or-complex CONCRETE taps; semantics identical to
     ops.fir.fir_extended(mode='mxu').  Call under an enclosing jit — the
-    banded matrices fold to compile-time constants."""
+    banded matrices fold to compile-time constants.
+
+    Pass ``history`` separately (with ``x_ext`` = just the new block) to
+    build the [history, block, pad] row buffer in ONE concatenate instead
+    of a concat followed by a pad — each was a full-rate HBM read+write
+    of the tick, together ~25%% of the front end's whole budget
+    (benchmarks/offline_flat_probe.py attribution)."""
+    if history is not None:
+        hx = cplx.ensure_pair(history)
+    else:
+        hx = None
     if cplx.is_pair(taps):
         hr = np.asarray(taps.re, np.float32)
         hi = np.asarray(taps.im, np.float32)
@@ -186,7 +236,8 @@ def banded_fir_pallas(
 
     D = int(decimation)
     T = hr.shape[-1]
-    L = x_ext.shape[-1]
+    H = hx.shape[-1] if hx is not None else 0
+    L = x_ext.shape[-1] + H
     M = (L - (T - 1)) // D
     if M <= 0:
         return cplx.zeros(x_ext.shape[:-1] + (0,))
@@ -206,12 +257,21 @@ def banded_fir_pallas(
     # placeholder when taps are real (Mosaic wants a rank-matched ref)
     wi = jnp.asarray(_band(hi[::-1], kpad, D)) if cplx_taps else wr
 
-    def prep(x):
+    def prep(x, h):
+        # ONE materialization: [history, block, zero pad] -> row layout
+        pieces = [] if h is None else [h.astype(jnp.float32)]
         pad = need - L
-        x = jnp.pad(x, (0, pad)) if pad > 0 else x[:need]
-        return x.reshape(total_rows, G).astype(jnp.float32)
+        if pad >= 0:
+            pieces.append(x.astype(jnp.float32))
+            if pad > 0:
+                pieces.append(jnp.zeros((pad,), jnp.float32))
+        else:
+            pieces.append(x[: x.shape[-1] + pad].astype(jnp.float32))
+        flat = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces)
+        return flat.reshape(total_rows, G)
 
-    fr, fi = prep(x_ext.re), prep(x_ext.im)
+    fr = prep(x_ext.re, None if hx is None else hx.re)
+    fi = prep(x_ext.im, None if hx is None else hx.im)
 
     yr, yi = pl.pallas_call(
         functools.partial(
@@ -241,6 +301,10 @@ def banded_fir_pallas(
         scratch_shapes=[
             pltpu.VMEM((dma_rows, G), jnp.float32),
             pltpu.VMEM((dma_rows, G), jnp.float32),
+            pltpu.VMEM((dma_rows, G), jnp.float32),
+            pltpu.VMEM((dma_rows, G), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],

@@ -67,8 +67,10 @@ class TestFusedFmBlock:
         chain_ref, _ = receiver.fm_receiver(
             fs, 300e3, receiver.WBFM, deemphasis_tau=None, use_fused=False
         )
-        tick = chain_ref.granule * max(1, 20000 // chain_ref.granule)
-        tick = max(tick, chain_fused.granule)
+        from tpusdr.utils.numerics import lcm
+
+        g = lcm(chain_ref.granule, chain_fused.granule)
+        tick = g * max(1, 20000 // g)
         assert tick % chain_fused.granule == 0
 
         z = (
@@ -240,3 +242,84 @@ class TestBandedFirKernel:
         finally:
             del os.environ["TPUSDR_PALLAS"]
         np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=2e-4)
+
+
+class TestPreludeKernel:
+    """Zero-copy prelude form of the banded kernel (r5 roofline attack):
+    the tick is read from its natural (N/G, G) reshape with 8 carried
+    prelude rows — no prepend/pad copies.  Must match the XLA path
+    across ticks, including the carried discriminator sample."""
+
+    def test_prelude_matches_xla_streaming(self, rng):
+        import os
+
+        import scipy.signal as sps
+
+        from tpusdr.graph import blocks as B
+
+        t = sps.firwin(65, 0.1).astype(np.float32)
+        blk = B.FusedFmDemod(1e6, -150e3, t, 8, gain=1.7)
+        assert blk.granule == 1024  # G = 128 * D
+        n = 49 * 1024  # >= (RP + GUARD) * G: the prelude path engages
+        z = (
+            rng.standard_normal(3 * n) + 1j * rng.standard_normal(3 * n)
+        ).astype(np.complex64)
+        xs = cplx.from_numpy(z)
+
+        def run():
+            s = blk.init_state()
+            outs = []
+            for i in range(3):
+                s, y = blk.apply(s, xs[i * n : (i + 1) * n])
+                outs.append(np.asarray(y))
+            return np.concatenate(outs)
+
+        y_pre = run()  # interpret -> prelude kernel
+        os.environ["TPUSDR_PALLAS"] = "xla"
+        try:
+            y_xla = run()
+        finally:
+            del os.environ["TPUSDR_PALLAS"]
+        assert y_pre.shape == (3 * n // 8,)
+        np.testing.assert_allclose(y_pre, y_xla, atol=2e-4)
+
+    def test_prelude_raw_kernel_vs_mxu(self, rng):
+        import scipy.signal as sps
+
+        from tpusdr.kernels.fir_banded_pallas import (
+            _GUARD,
+            banded_fir_prelude,
+            prelude_eligible,
+            prelude_plan,
+        )
+        from tpusdr.ops import fir
+
+        T, D = 89, 8
+        G, _B = prelude_plan(T, D)
+        N = 49 * G
+        assert prelude_eligible(T, D, N, True)
+        taps = sps.firwin(T, 0.05).astype(np.float32)
+        sh = np.exp(-2j * np.pi * 0.15 * np.arange(T)).astype(np.complex64)
+        ct = (taps * sh).astype(np.complex64)
+        pre = cplx.Complex(
+            rng.standard_normal((_GUARD, G)).astype(np.float32),
+            rng.standard_normal((_GUARD, G)).astype(np.float32),
+        )
+        x = cplx.Complex(
+            rng.standard_normal(N).astype(np.float32),
+            rng.standard_normal(N).astype(np.float32),
+        )
+        y = banded_fir_prelude(x, pre, ct, D, interpret=True)
+        flat = cplx.Complex(
+            np.concatenate([np.asarray(pre.re).reshape(-1), np.asarray(x.re)]),
+            np.concatenate([np.asarray(pre.im).reshape(-1), np.asarray(x.im)]),
+        )
+        p0 = _GUARD * G - (T - 1)
+        ref = fir.fir_extended(flat[..., p0:], ct, D, mode="mxu")
+        M = N // D
+        np.testing.assert_allclose(
+            np.asarray(y.re), np.asarray(ref.re)[:M], atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(y.im), np.asarray(ref.im)[:M], atol=1e-5
+        )

@@ -543,6 +543,8 @@ class FusedFmDemod(Block):
         gain: float,
         block_b: int = 1024,
     ):
+        from tpusdr.kernels.fir_banded_pallas import eligible, prelude_plan
+
         self.sample_rate = float(sample_rate)
         self.frequency = float(frequency)
         self.inc = osc.freq_to_inc_u32(frequency, sample_rate)
@@ -552,48 +554,75 @@ class FusedFmDemod(Block):
         self.gain = float(gain)
         self.block_b = block_b
         self.history = (len(self.taps) - 1) + self.decimation
+        # Zero-copy (prelude) kernel plan: when the banded kernel takes
+        # the shape, the carry holds 8 whole (G,) decimation rows of the
+        # previous tick and the kernel reads the tick straight from its
+        # natural (N/G, G) reshape — no prepend/pad copy at all.  The
+        # granule grows to G so chain planning produces row-exact ticks.
+        self._G, self._B = prelude_plan(len(self.taps), self.decimation)
+        self._rows_capable = eligible(len(self.taps), self.decimation, True)
+        from tpusdr.kernels.fir_banded_pallas import _GUARD
+
+        self._tail_len = (
+            _GUARD * self._G if self._rows_capable else self.history
+        )
+
+    @property
+    def granule(self) -> int:
+        return self._G if self._rows_capable else self.down
 
     def init_state(self, batch_shape=()):
         from tpusdr.ops import cplx as _cplx
 
         if batch_shape:
             raise ValueError("FusedFmDemod is a single-stream block")
-        # phase of the first history sample: history samples precede the
-        # stream origin, so back the phase up by `history` increments.
-        back = np.uint32((-int(self.inc) * self.history) % (1 << 32))
+        # phase of the first carried sample: tail_len samples precede the
+        # stream origin, so back the phase up by that many increments.
+        back = np.uint32((-int(self.inc) * self._tail_len) % (1 << 32))
         return {
-            "tail": _cplx.zeros((self.history,)),
+            "tail": _cplx.zeros((self._tail_len,)),
             "phase": jnp.uint32(back),
+            # previous decimated FIR output (the discriminator's lookback
+            # when the prelude kernel computes exactly N/D outputs)
+            "vprev": _cplx.zeros((1,)),
         }
 
     def apply(self, state, x):
         from tpusdr.kernels.dispatch import pallas_mode
-        from tpusdr.kernels.fir_banded_pallas import eligible
+        from tpusdr.kernels.fir_banded_pallas import prelude_eligible
         from tpusdr.ops import cplx as _cplx
 
         mode = pallas_mode()
         n = x.shape[-1]
-        banded = (
+        T = len(self.taps)
+        interpret = mode == "interpret"
+        new_vprev = state["vprev"]
+        if (
             mode != "xla"
-            and eligible(len(self.taps), self.decimation, True)
+            and self._rows_capable
             and x.re.ndim == 1
-        )
-        if banded:
-            # history handed to the kernel separately: the [tail, x, pad]
-            # row buffer is built in ONE copy instead of concat + pad
-            y = self._apply_banded(
-                x, state["tail"], interpret=(mode == "interpret")
+            and n % self._G == 0
+            and prelude_eligible(T, self.decimation, n, True)
+        ):
+            y, new_vprev = self._apply_prelude(
+                x, state["tail"], state["vprev"], interpret
             )
-            if n >= self.history:
-                new_tail = x[..., n - self.history :]
-            else:
-                new_tail = _cplx.concat([state["tail"], x], axis=-1)[
-                    ..., -self.history :
-                ]
+        elif mode != "xla" and self._rows_capable and x.re.ndim == 1:
+            # banded kernel, single-copy history prep (non-row ticks)
+            y, new_vprev = self._apply_banded(
+                x, state["tail"][..., -self.history :], interpret
+            )
         else:
-            ext = _cplx.concat([state["tail"], x], axis=-1)
+            # phase of ext[0]: the carry is tail_len samples deep but the
+            # ext built here starts history samples back
+            ph = state["phase"] + jnp.uint32(
+                (int(self.inc) * (self._tail_len - self.history)) % (1 << 32)
+            )
+            ext = _cplx.concat(
+                [state["tail"][..., -self.history :], x], axis=-1
+            )
             if mode == "xla":
-                y = self._apply_xla(state["phase"], ext)
+                y = self._apply_xla(ph, ext)
             else:
                 from tpusdr.kernels.fm_pallas import fused_fm_demod_pallas
 
@@ -602,15 +631,20 @@ class FusedFmDemod(Block):
                     self.taps,
                     self.decimation,
                     self.inc,
-                    state["phase"],
+                    ph,
                     self.gain,
                     self.block_b,
-                    interpret=(mode == "interpret"),
+                    interpret=interpret,
                 )
-            new_tail = ext[..., ext.shape[-1] - self.history :]
+        L = self._tail_len
+        if n >= L:
+            new_tail = x[..., n - L :]
+        else:
+            new_tail = _cplx.concat([state["tail"], x], axis=-1)[..., -L:]
         new_state = {
             "tail": new_tail,
             "phase": state["phase"] + jnp.uint32((int(self.inc) * n) % (1 << 32)),
+            "vprev": new_vprev,
         }
         return new_state, y
 
@@ -632,12 +666,36 @@ class FusedFmDemod(Block):
         decimated rate.
         """
         from tpusdr.kernels.fir_banded_pallas import banded_fir_pallas
-        from tpusdr.ops import xmath
 
         v = banded_fir_pallas(
             x, self._mod_taps_np(), self.decimation, interpret, history=tail
         )
-        prod = v[..., 1:] * v[..., :-1].conj()
+        return self._discriminate(v[..., 1:], v[..., :-1]), v[..., -1:]
+
+    def _apply_prelude(self, x, tail, vprev, interpret: bool):
+        """Zero-copy banded kernel: the tick is read straight from its
+        (N/G, G) reshape with the carried 8 prelude rows; exactly N/D
+        FIR outputs come back, and the discriminator's one-sample
+        lookback is the carried previous output ``vprev``."""
+        from tpusdr.kernels.fir_banded_pallas import _GUARD, banded_fir_prelude
+        from tpusdr.ops import cplx as _cplx
+
+        G = self._G
+        pre = _cplx.Complex(
+            tail.re.reshape(_GUARD, G), tail.im.reshape(_GUARD, G)
+        )
+        v = banded_fir_prelude(
+            x, pre, self._mod_taps_np(), self.decimation, interpret
+        )
+        vfull = _cplx.concat([vprev, v], axis=-1)
+        return self._discriminate(vfull[..., 1:], vfull[..., :-1]), v[..., -1:]
+
+    def _discriminate(self, v_cur, v_prev):
+        """prod = v[k] conj(v[k-1]) de-rotated by the constant folded-
+        shift residual e^{j*D*w}, then the atan discriminator."""
+        from tpusdr.ops import xmath
+
+        prod = v_cur * v_prev.conj()
         wd = (
             (int(self.inc) * self.decimation) % (1 << 32)
         ) * (2.0 * np.pi / 2.0**32)
@@ -663,13 +721,13 @@ class FusedFmDemod(Block):
     def shift_state(self, state, offset_samples):
         off = jnp.asarray(offset_samples).astype(jnp.uint32)
         return {
-            "tail": state["tail"],
+            **state,
             "phase": state["phase"] + jnp.uint32(self.inc) * off,
         }
 
     def advance_state(self, state, num_samples: int):
         return {
-            "tail": state["tail"],
+            **state,
             "phase": state["phase"]
             + jnp.uint32((int(self.inc) * num_samples) % (1 << 32)),
         }

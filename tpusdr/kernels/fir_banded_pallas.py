@@ -53,6 +53,19 @@ _R = 24
 #: back to the XLA path).
 _MAX_W_BYTES = 8 << 20
 
+#: MXU accumulation precision inside the kernels.  HIGHEST = bf16x6 (6
+#: MXU passes, float32-faithful, -142 dB vs float64); HIGH = bf16x3
+#: (-99 dB — 39 dB beyond the chain's -60 dB design bar at half the MXU
+#: time).  The kernel is MXU-pass-bound once DMA is double-buffered
+#: (benchmarks/kernel_floor_probe.py), so this knob is the FLOP lever.
+import os as _os
+
+_KERNEL_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[_os.environ.get("TPUSDR_KERNEL_PRECISION", "highest")]
+
 
 def _plan(T: int, D: int):
     G = _C * D
@@ -142,7 +155,7 @@ def _kernel(
     dot = functools.partial(
         jnp.dot,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_KERNEL_PRECISION,
     )
 
     # The window matrix A[r] = x[(kR + r)*G : ... + kpad] spans q+1 row
@@ -315,3 +328,316 @@ def banded_fir_pallas(
         interpret=interpret,
     )(fr, fi, wr, wi)
     return cplx.Complex(yr.reshape(-1)[:M], yi.reshape(-1)[:M])
+
+
+# ---------------------------------------------------------------------------
+# Prelude form: zero-copy streaming input (r5 roofline attack)
+# ---------------------------------------------------------------------------
+#
+# The history form above builds a [tail, block, pad] buffer per tick — one
+# full-rate HBM read+write before the kernel reads the tick again.  The
+# prelude form removes that copy entirely: the tick arrives as its natural
+# (n_rows, G) reshape (free), the carried stream history arrives as 8 whole
+# rows of the previous tick ("prelude"), and the window offset that made
+# the prepend necessary is baked into the band matrices instead:
+#
+#   global output k: y[k] = sum_u h_rev[u] * s[k*D - (T-1) + u]
+#
+# so output row r needs rows r-B..r of the stream (B = ceil((T-1)/G) <= 8
+# backward rows) and NEVER a forward row ((C-1)*D + 1 <= G).  Each part b
+# contracts the scratch realigned by a roll with
+#   W_b[i, j] = h_rev[i - b*G - j*D + (T-1)]
+# Outputs are written by explicit DMA at dynamic row offsets, with the
+# last grid program CLAMPED to the final R rows (overlap recompute, byte-
+# identical writes), so ANY G-multiple tick length works — no padding.
+#
+# HBM traffic per tick: one DMA read of the tick (+20%% guard-row overlap)
+# + the decimated write.  Nothing else.
+
+#: output rows per program in the prelude kernel (clamping makes the tick
+#: length free; 40 keeps the 8 guard rows at 17%% DMA overhead)
+_RP = 40
+_GUARD = 8  # prelude rows carried across ticks (sublane quantum)
+
+
+def _band_off(h_rev: np.ndarray, b: int, G: int, D: int) -> np.ndarray:
+    """W_b[i, j] = h_rev[i - b*G - j*D + (T-1)] (zero outside [0, T))."""
+    T = h_rev.shape[-1]
+    idx = (
+        np.arange(G)[:, None]
+        - b * G
+        - np.arange(_C)[None, :] * D
+        + (T - 1)
+    )
+    mask = (idx >= 0) & (idx < T)
+    return np.where(mask, h_rev[np.clip(idx, 0, T - 1)], 0.0).astype(np.float32)
+
+
+def prelude_plan(T: int, D: int):
+    G = _C * D
+    B = cdiv(T - 1, G) if T > 1 else 0
+    return G, B
+
+
+def prelude_eligible(T: int, D: int, N: int, complex_taps: bool) -> bool:
+    """Shapes the zero-copy prelude kernel takes: decimating, backward
+    reach inside the guard rows, band matrices in VMEM, tick a G-multiple
+    long enough for the clamped grid."""
+    if D < 2:
+        return False
+    G, B = prelude_plan(T, D)
+    if B > _GUARD - 1:
+        return False
+    w_bytes = (B + 1) * G * _C * 4 * (2 if complex_taps else 1)
+    return (
+        w_bytes <= 4 * _MAX_W_BYTES
+        and N % G == 0
+        and N >= (_RP + _GUARD) * G
+    )
+
+
+def _kernel_prelude(
+    xr_ref,
+    xi_ref,
+    pr_ref,
+    pi_ref,
+    wr_ref,
+    wi_ref,
+    or_ref,
+    oi_ref,
+    s0r,
+    s0i,
+    s1r,
+    s1i,
+    otr,
+    oti,
+    sem_r0,
+    sem_i0,
+    sem_r1,
+    sem_i1,
+    sem_or,
+    sem_oi,
+    *,
+    R,
+    G,
+    B,
+    n_rows,
+    cplx_taps,
+    part_starts,
+):
+    k = pl.program_id(0)
+    n = pl.num_programs(0)
+    dma_rows = R + _GUARD
+
+    def out_row(kk):
+        # last program clamps to the final R rows (any n_rows works)
+        return jnp.minimum(kk * R, n_rows - R)
+
+    def in_copies(kk, sr, si, sem_r, sem_i):
+        # extended rows [o, o + dma_rows); for kk>0 all come from x
+        o = out_row(kk)
+        cr = pltpu.make_async_copy(
+            xr_ref.at[pl.ds(o - _GUARD, dma_rows), :], sr, sem_r
+        )
+        ci = pltpu.make_async_copy(
+            xi_ref.at[pl.ds(o - _GUARD, dma_rows), :], si, sem_i
+        )
+        return cr, ci
+
+    def first_copies(sr, si, sem_r, sem_i):
+        # program 0: guard rows come from the prelude (written separately);
+        # DMA only x rows [0, R) into scratch rows [GUARD, GUARD+R)
+        cr = pltpu.make_async_copy(
+            xr_ref.at[pl.ds(0, R), :], sr.at[pl.ds(_GUARD, R), :], sem_r
+        )
+        ci = pltpu.make_async_copy(
+            xi_ref.at[pl.ds(0, R), :], si.at[pl.ds(_GUARD, R), :], sem_i
+        )
+        return cr, ci
+
+    @pl.when(k == 0)
+    def _():
+        s0r[pl.ds(0, _GUARD), :] = pr_ref[:, :]
+        s0i[pl.ds(0, _GUARD), :] = pi_ref[:, :]
+        cr, ci = first_copies(s0r, s0i, sem_r0, sem_i0)
+        cr.start()
+        ci.start()
+
+    # prefetch program k+1's rows into the other slot (k+1 >= 1 always)
+    @pl.when((k + 1 < n) & (k % 2 == 0))
+    def _():
+        cr, ci = in_copies(k + 1, s1r, s1i, sem_r1, sem_i1)
+        cr.start()
+        ci.start()
+
+    @pl.when((k + 1 < n) & (k % 2 == 1))
+    def _():
+        cr, ci = in_copies(k + 1, s0r, s0i, sem_r0, sem_i0)
+        cr.start()
+        ci.start()
+
+    dot = functools.partial(
+        jnp.dot,
+        preferred_element_type=jnp.float32,
+        precision=_KERNEL_PRECISION,
+    )
+
+    def compute(sr, si, sem_r, sem_i):
+        @pl.when(k == 0)
+        def _():
+            cr, ci = first_copies(sr, si, sem_r, sem_i)
+            cr.wait()
+            ci.wait()
+
+        @pl.when(k > 0)
+        def _():
+            cr, ci = in_copies(k, sr, si, sem_r, sem_i)
+            cr.wait()
+            ci.wait()
+
+        # part b reads scratch row m + (GUARD - b) for result row m
+        def shifted(s, b):
+            j = _GUARD - b
+            return pltpu.roll(s, dma_rows - j, 0)
+
+        def banded_dot(shifts, w):
+            # contract only each part's nonzero (128-aligned) column
+            # range: part b's band W_b is zero below b*G - (T-1), so a
+            # backward part costs ~(T-1)/G of a full-width matmul
+            acc = None
+            for b, s_b in shifts:
+                st = part_starts[b]
+                term = dot(s_b[:, st:], w[b * G + st : (b + 1) * G, :])
+                acc = term if acc is None else acc + term
+            return acc[0:R, :]
+
+        sr_v = [(b, shifted(sr[:], b)) for b in range(B + 1)]
+        si_v = [(b, shifted(si[:], b)) for b in range(B + 1)]
+        if cplx_taps:
+            wr = wr_ref[:]
+            wi = wi_ref[:]
+            otr[:, :] = banded_dot(sr_v, wr) - banded_dot(si_v, wi)
+            oti[:, :] = banded_dot(sr_v, wi) + banded_dot(si_v, wr)
+        else:
+            wr = wr_ref[:]
+            otr[:, :] = banded_dot(sr_v, wr)
+            oti[:, :] = banded_dot(si_v, wr)
+
+    @pl.when(k % 2 == 0)
+    def _():
+        compute(s0r, s0i, sem_r0, sem_i0)
+
+    @pl.when(k % 2 == 1)
+    def _():
+        compute(s1r, s1i, sem_r1, sem_i1)
+
+    o = out_row(k)
+    co = pltpu.make_async_copy(otr, or_ref.at[pl.ds(o, R), :], sem_or)
+    ci2 = pltpu.make_async_copy(oti, oi_ref.at[pl.ds(o, R), :], sem_oi)
+    co.start()
+    ci2.start()
+    co.wait()
+    ci2.wait()
+
+
+def banded_fir_prelude(
+    x: cplx.Complex,
+    prelude: cplx.Complex,
+    taps,
+    decimation: int,
+    interpret: bool = False,
+) -> cplx.Complex:
+    """Zero-copy streaming decimating FIR: y[k] = sum_u h_rev[u] *
+    s[k*D - (T-1) + u] for the N/D outputs of this tick, where s is the
+    stream with s[0] = x[0] and s[-8G..0) = the prelude rows (the last
+    8 rows of the previous tick; zeros at stream start).
+
+    ``x``: (N,) pair, N %% G == 0; ``prelude``: (8, G) pair.  Returns
+    (N/D,) — numerically the fir_extended(mode='mxu') windows, read
+    straight from the tick's natural (N/G, G) reshape with no prepend,
+    pad, or trailing slice."""
+    if cplx.is_pair(taps):
+        hr = np.asarray(taps.re, np.float32)
+        hi = np.asarray(taps.im, np.float32)
+    else:
+        t = np.asarray(taps)
+        if np.iscomplexobj(t):
+            hr, hi = t.real.astype(np.float32), t.imag.astype(np.float32)
+        else:
+            hr, hi = t.astype(np.float32), None
+
+    D = int(decimation)
+    T = hr.shape[-1]
+    N = x.shape[-1]
+    G, B = prelude_plan(T, D)
+    if x.re.ndim != 1:
+        raise ValueError("banded_fir_prelude is single-stream (1-D) only")
+    if N % G or N < (_RP + _GUARD) * G:
+        raise ValueError(f"tick {N} not a usable multiple of G={G}")
+    n_rows = N // G
+    cplx_taps = hi is not None
+
+    hr_rev = hr[::-1]
+    wr = jnp.asarray(
+        np.concatenate([_band_off(hr_rev, b, G, D) for b in range(B + 1)], 0)
+    )
+    if cplx_taps:
+        hi_rev = hi[::-1]
+        wi = jnp.asarray(
+            np.concatenate([_band_off(hi_rev, b, G, D) for b in range(B + 1)], 0)
+        )
+    else:
+        wi = wr  # rank-matched placeholder
+
+    fr = x.re.reshape(n_rows, G).astype(jnp.float32)
+    fi = x.im.reshape(n_rows, G).astype(jnp.float32)
+    dma_rows = _RP + _GUARD
+
+    yr, yi = pl.pallas_call(
+        functools.partial(
+            _kernel_prelude,
+            R=_RP,
+            G=G,
+            B=B,
+            n_rows=n_rows,
+            cplx_taps=cplx_taps,
+            part_starts=tuple(
+                (max(0, b * G - (T - 1)) // 128) * 128 for b in range(B + 1)
+            ),
+        ),
+        grid=(cdiv(n_rows, _RP),),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_rows, _C), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, _C), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((dma_rows, G), jnp.float32),
+            pltpu.VMEM((dma_rows, G), jnp.float32),
+            pltpu.VMEM((dma_rows, G), jnp.float32),
+            pltpu.VMEM((dma_rows, G), jnp.float32),
+            pltpu.VMEM((_RP, _C), jnp.float32),
+            pltpu.VMEM((_RP, _C), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 << 20),
+        interpret=interpret,
+    )(fr, fi, prelude.re.astype(jnp.float32), prelude.im.astype(jnp.float32),
+      wr, wi)
+    return cplx.Complex(yr.reshape(-1), yi.reshape(-1))

@@ -74,7 +74,7 @@ def main() -> None:
     ctaps = (taps * shift).astype(np.complex64)
 
     G, _B = prelude_plan(T, D)
-    tick = (1 << 21) // G * G  # G-multiple: both kernel forms take it
+    tick = (1 << 21) // (_GUARD * G) * (_GUARD * G)  # 8G rows: both forms take it
     ks = (16, 96, 176, 256)
     rng = np.random.default_rng(0)
     xs = tile_ticks(

@@ -259,8 +259,8 @@ class TestPreludeKernel:
 
         t = sps.firwin(65, 0.1).astype(np.float32)
         blk = B.FusedFmDemod(1e6, -150e3, t, 8, gain=1.7)
-        assert blk.granule == 1024  # G = 128 * D
-        n = 49 * 1024  # >= (RP + GUARD) * G: the prelude path engages
+        assert blk.granule == 8 * 1024  # 8 sublane rows of G = 128 * D
+        n = 48 * 1024  # an 8G multiple: the prelude path engages
         z = (
             rng.standard_normal(3 * n) + 1j * rng.standard_normal(3 * n)
         ).astype(np.complex64)
@@ -296,7 +296,7 @@ class TestPreludeKernel:
 
         T, D = 89, 8
         G, _B = prelude_plan(T, D)
-        N = 49 * G
+        N = 48 * G
         assert prelude_eligible(T, D, N, True)
         taps = sps.firwin(T, 0.05).astype(np.float32)
         sh = np.exp(-2j * np.pi * 0.15 * np.arange(T)).astype(np.complex64)

@@ -569,7 +569,10 @@ class FusedFmDemod(Block):
 
     @property
     def granule(self) -> int:
-        return self._G if self._rows_capable else self.down
+        # the prelude kernel wants ticks in whole 8-row (sublane) bands
+        from tpusdr.kernels.fir_banded_pallas import _GUARD
+
+        return _GUARD * self._G if self._rows_capable else self.down
 
     def init_state(self, batch_shape=()):
         from tpusdr.ops import cplx as _cplx
@@ -601,7 +604,6 @@ class FusedFmDemod(Block):
             mode != "xla"
             and self._rows_capable
             and x.re.ndim == 1
-            and n % self._G == 0
             and prelude_eligible(T, self.decimation, n, True)
         ):
             y, new_vprev = self._apply_prelude(

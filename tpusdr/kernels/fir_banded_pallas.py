@@ -354,10 +354,18 @@ def banded_fir_pallas(
 # HBM traffic per tick: one DMA read of the tick (+20%% guard-row overlap)
 # + the decimated write.  Nothing else.
 
-#: output rows per program in the prelude kernel (clamping makes the tick
-#: length free; 40 keeps the 8 guard rows at 17%% DMA overhead)
-_RP = 40
+#: candidate output-rows-per-program for the prelude kernel (first that
+#: divides the tick's row count wins; all are sublane multiples so every
+#: DMA row offset k*R - 8 is provably 8-aligned for Mosaic)
+_RP_CANDIDATES = (40, 32, 24, 16, 8)
 _GUARD = 8  # prelude rows carried across ticks (sublane quantum)
+
+
+def _pick_rp(n_rows: int) -> int | None:
+    for r in _RP_CANDIDATES:
+        if n_rows % r == 0:
+            return r
+    return None
 
 
 def _band_off(h_rev: np.ndarray, b: int, G: int, D: int) -> np.ndarray:
@@ -381,19 +389,19 @@ def prelude_plan(T: int, D: int):
 
 def prelude_eligible(T: int, D: int, N: int, complex_taps: bool) -> bool:
     """Shapes the zero-copy prelude kernel takes: decimating, backward
-    reach inside the guard rows, band matrices in VMEM, tick a G-multiple
-    long enough for the clamped grid."""
+    reach inside the guard rows, band matrices in VMEM, tick an 8G-row
+    multiple (so every DMA offset is provably sublane-aligned)."""
     if D < 2:
         return False
     G, B = prelude_plan(T, D)
     if B > _GUARD - 1:
         return False
     w_bytes = (B + 1) * G * _C * 4 * (2 if complex_taps else 1)
-    return (
-        w_bytes <= 4 * _MAX_W_BYTES
-        and N % G == 0
-        and N >= (_RP + _GUARD) * G
-    )
+    if w_bytes > 4 * _MAX_W_BYTES:
+        return False
+    if N % (_GUARD * G) or N < 2 * _GUARD * G:
+        return False
+    return _pick_rp(N // G) is not None
 
 
 def _kernel_prelude(
@@ -409,19 +417,14 @@ def _kernel_prelude(
     s0i,
     s1r,
     s1i,
-    otr,
-    oti,
     sem_r0,
     sem_i0,
     sem_r1,
     sem_i1,
-    sem_or,
-    sem_oi,
     *,
     R,
     G,
     B,
-    n_rows,
     cplx_taps,
     part_starts,
 ):
@@ -429,24 +432,20 @@ def _kernel_prelude(
     n = pl.num_programs(0)
     dma_rows = R + _GUARD
 
-    def out_row(kk):
-        # last program clamps to the final R rows (any n_rows works)
-        return jnp.minimum(kk * R, n_rows - R)
-
     def in_copies(kk, sr, si, sem_r, sem_i):
-        # extended rows [o, o + dma_rows); for kk>0 all come from x
-        o = out_row(kk)
+        # extended rows [kk*R, kk*R + dma_rows); kk >= 1 only (offsets
+        # kk*R - GUARD are affine multiples of 8 -> Mosaic-provable)
         cr = pltpu.make_async_copy(
-            xr_ref.at[pl.ds(o - _GUARD, dma_rows), :], sr, sem_r
+            xr_ref.at[pl.ds(kk * R - _GUARD, dma_rows), :], sr, sem_r
         )
         ci = pltpu.make_async_copy(
-            xi_ref.at[pl.ds(o - _GUARD, dma_rows), :], si, sem_i
+            xi_ref.at[pl.ds(kk * R - _GUARD, dma_rows), :], si, sem_i
         )
         return cr, ci
 
     def first_copies(sr, si, sem_r, sem_i):
-        # program 0: guard rows come from the prelude (written separately);
-        # DMA only x rows [0, R) into scratch rows [GUARD, GUARD+R)
+        # program 0: guard rows come from the prelude (copied from VMEM
+        # below); DMA only x rows [0, R) into scratch rows [GUARD, ...)
         cr = pltpu.make_async_copy(
             xr_ref.at[pl.ds(0, R), :], sr.at[pl.ds(_GUARD, R), :], sem_r
         )
@@ -463,7 +462,7 @@ def _kernel_prelude(
         cr.start()
         ci.start()
 
-    # prefetch program k+1's rows into the other slot (k+1 >= 1 always)
+    # prefetch program k+1 into the other slot (k+1 >= 1 always)
     @pl.when((k + 1 < n) & (k % 2 == 0))
     def _():
         cr, ci = in_copies(k + 1, s1r, s1i, sem_r1, sem_i1)
@@ -516,12 +515,12 @@ def _kernel_prelude(
         if cplx_taps:
             wr = wr_ref[:]
             wi = wi_ref[:]
-            otr[:, :] = banded_dot(sr_v, wr) - banded_dot(si_v, wi)
-            oti[:, :] = banded_dot(sr_v, wi) + banded_dot(si_v, wr)
+            or_ref[:] = banded_dot(sr_v, wr) - banded_dot(si_v, wi)
+            oi_ref[:] = banded_dot(sr_v, wi) + banded_dot(si_v, wr)
         else:
             wr = wr_ref[:]
-            otr[:, :] = banded_dot(sr_v, wr)
-            oti[:, :] = banded_dot(si_v, wr)
+            or_ref[:] = banded_dot(sr_v, wr)
+            oi_ref[:] = banded_dot(si_v, wr)
 
     @pl.when(k % 2 == 0)
     def _():
@@ -530,14 +529,6 @@ def _kernel_prelude(
     @pl.when(k % 2 == 1)
     def _():
         compute(s1r, s1i, sem_r1, sem_i1)
-
-    o = out_row(k)
-    co = pltpu.make_async_copy(otr, or_ref.at[pl.ds(o, R), :], sem_or)
-    ci2 = pltpu.make_async_copy(oti, oi_ref.at[pl.ds(o, R), :], sem_oi)
-    co.start()
-    ci2.start()
-    co.wait()
-    ci2.wait()
 
 
 def banded_fir_prelude(
@@ -552,10 +543,10 @@ def banded_fir_prelude(
     stream with s[0] = x[0] and s[-8G..0) = the prelude rows (the last
     8 rows of the previous tick; zeros at stream start).
 
-    ``x``: (N,) pair, N %% G == 0; ``prelude``: (8, G) pair.  Returns
-    (N/D,) — numerically the fir_extended(mode='mxu') windows, read
-    straight from the tick's natural (N/G, G) reshape with no prepend,
-    pad, or trailing slice."""
+    ``x``: (N,) pair, N an 8G multiple; ``prelude``: (8, G) pair.
+    Returns (N/D,) — numerically the fir_extended(mode='mxu') windows,
+    read straight from the tick's natural (N/G, G) reshape with no
+    prepend, pad, or trailing slice."""
     if cplx.is_pair(taps):
         hr = np.asarray(taps.re, np.float32)
         hi = np.asarray(taps.im, np.float32)
@@ -572,9 +563,12 @@ def banded_fir_prelude(
     G, B = prelude_plan(T, D)
     if x.re.ndim != 1:
         raise ValueError("banded_fir_prelude is single-stream (1-D) only")
-    if N % G or N < (_RP + _GUARD) * G:
-        raise ValueError(f"tick {N} not a usable multiple of G={G}")
+    if N % (_GUARD * G) or N < 2 * _GUARD * G:
+        raise ValueError(f"tick {N} not a usable multiple of 8G={8 * G}")
     n_rows = N // G
+    R = _pick_rp(n_rows)
+    if R is None:
+        raise ValueError(f"no program row count divides n_rows={n_rows}")
     cplx_taps = hi is not None
 
     hr_rev = hr[::-1]
@@ -591,21 +585,20 @@ def banded_fir_prelude(
 
     fr = x.re.reshape(n_rows, G).astype(jnp.float32)
     fi = x.im.reshape(n_rows, G).astype(jnp.float32)
-    dma_rows = _RP + _GUARD
+    dma_rows = R + _GUARD
 
     yr, yi = pl.pallas_call(
         functools.partial(
             _kernel_prelude,
-            R=_RP,
+            R=R,
             G=G,
             B=B,
-            n_rows=n_rows,
             cplx_taps=cplx_taps,
             part_starts=tuple(
                 (max(0, b * G - (T - 1)) // 128) * 128 for b in range(B + 1)
             ),
         ),
-        grid=(cdiv(n_rows, _RP),),
+        grid=(n_rows // R,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -615,8 +608,8 @@ def banded_fir_prelude(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((R, _C), lambda k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, _C), lambda k: (k, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_rows, _C), jnp.float32),
@@ -627,10 +620,6 @@ def banded_fir_prelude(
             pltpu.VMEM((dma_rows, G), jnp.float32),
             pltpu.VMEM((dma_rows, G), jnp.float32),
             pltpu.VMEM((dma_rows, G), jnp.float32),
-            pltpu.VMEM((_RP, _C), jnp.float32),
-            pltpu.VMEM((_RP, _C), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,

@@ -23,9 +23,25 @@ VMEM.  Complex taps come from FreqShiftFir's shift folding, so this kernel
 is the full fused front end: shift + FIR + decimate in one pass
 (gsdrFmDemod precedent, fm_simpletest.cpp:400-414, restated for MXU+VMEM).
 
+Two forms:
+
+  * ``banded_fir_pallas`` — history form: caller supplies (or passes via
+    ``history=``) an extended block; the wrapper materializes ONE
+    [tail, block, pad] row buffer and the kernel windows it forward
+    (W[i,j] = h_rev[i - j*D]).
+  * ``banded_fir_prelude`` — zero-copy streaming form (r5): the tick is
+    read straight from its natural (N/G, G) reshape; the carried history
+    is 8 whole rows of the previous tick and the streaming window offset
+    is baked into the band (W_b[i,j] = h_rev[i - b*G - j*D + (T-1)]), so
+    NOTHING is copied outside the kernel.  Input DMA double-buffered
+    across grid programs; backward parts contract only their nonzero
+    128-aligned column range.
+
 Mosaic constraints honored (benchmarks/pallas_mosaic_probes.py): DMA row
-counts are sublane (8) multiples, lane width G is a 128-multiple by
-construction (G = 128*D), rank-matched ops only.
+counts are sublane (8) multiples AND row offsets provably 8-aligned
+(affine k*R-8 with R a multiple of 8 — a min()-clamped offset was
+rejected), lane width G is a 128-multiple by construction (G = 128*D),
+rank-matched ops only.
 
 Taps must be CONCRETE (numpy / compile-time constants): the banded matrix
 is built on the host at trace time, exactly like FreqShiftFir._mod_taps.
@@ -433,13 +449,16 @@ def _kernel_prelude(
     dma_rows = R + _GUARD
 
     def in_copies(kk, sr, si, sem_r, sem_i):
-        # extended rows [kk*R, kk*R + dma_rows); kk >= 1 only (offsets
-        # kk*R - GUARD are affine multiples of 8 -> Mosaic-provable)
+        # extended rows [kk*R, kk*R + dma_rows); kk >= 1 only.  The
+        # offset is written as (...) * 8 so Mosaic can PROVE the tile
+        # index divisible by the sublane tiling — the equivalent
+        # kk*R - GUARD form was rejected ("failed to prove").
+        off = (kk * (R // 8) - 1) * 8
         cr = pltpu.make_async_copy(
-            xr_ref.at[pl.ds(kk * R - _GUARD, dma_rows), :], sr, sem_r
+            xr_ref.at[pl.ds(off, dma_rows), :], sr, sem_r
         )
         ci = pltpu.make_async_copy(
-            xi_ref.at[pl.ds(kk * R - _GUARD, dma_rows), :], si, sem_i
+            xi_ref.at[pl.ds(off, dma_rows), :], si, sem_i
         )
         return cr, ci
 

@@ -1,24 +1,29 @@
 """Benchmark: WBFM receiver chain throughput on one chip.
 
-BASELINE.md config 3: wideband FM chain (freq shift -> multistage decimating
-FIR -> quad FM demod -> de-emphasis -> resample to 48 kHz) on a single chip.
+BASELINE.md config 3/5: wideband FM chain (freq shift -> decimating FIR ->
+quad FM demod -> de-emphasis -> resample to 48 kHz) on a single chip.
 The reference's implied design point is real-time 20 Msps complex ingest
 (HackRF max rate, nbfm_test.cpp:415) on one NVIDIA GPU; `vs_baseline` is
 the multiple of that rate this chip sustains.
 
-Methodology (utils/profiling.scan_marginal): the streaming step runs under
-lax.scan over K stacked ticks (state carried tick-to-tick — the production
-offline path, run_offline in graph/runner.py) at four scan lengths visited
-round-robin; a Theil-Sen fit over all (k, time) points is the marginal
-per-tick cost, with the interquartile spread of the pairwise slopes
-reported as the error bar (always a number, never a crash — VERDICT r3 #1).
-This measures what the chip sustains, excluding this environment's ~40 ms
-per-dispatch tunnel round-trip (benchmarks/bw_probe.py), which a pipelined
-runner hides anyway (StreamRunner pipeline_depth).
+Headline method (r5): the production OFFLINE path — `run_offline` mode
+'flat' applies the chain once to the whole capture; the zero-copy prelude
+kernel (kernels/fir_banded_pallas.banded_fir_prelude) reads the capture
+exactly once by DMA and the decimated tail stages amortize their fixed
+costs.  Chunking invariance (tests/test_graph_chain.py) makes this the
+same sample stream the per-tick path produces.  The per-tick scan method
+(r2-r4 headline) is also measured and reported as `scan2m_msps` so rounds
+stay comparable — metric names are method-qualified (VERDICT r4 weak #4).
+
+Both use scan-marginal/Theil-Sen slopes over capture length (utils/
+profiling.scan_marginal): this box's ~40 ms tunnel dispatch makes
+dispatch-loop timing garbage; the slope over lengths isolates marginal
+per-sample cost, and `spread_pct` is the IQR of per-round estimates.
 
 Prints ONE JSON line:
-  {"metric": "wbfm_chain_msps_per_chip", "value": N, "unit": "Msamples/s",
-   "vs_baseline": N/20, "spread_pct": S}
+  {"metric": "wbfm_chain_msps_per_chip", "method": "offline_flat",
+   "value": N, "unit": "Msamples/s", "vs_baseline": N/20,
+   "spread_pct": S, "scan2m_msps": M, "scan2m_spread_pct": S2}
 """
 
 from __future__ import annotations
@@ -32,9 +37,10 @@ def main() -> None:
     import jax
     from jax import lax
 
+    from tpusdr.graph.runner import run_offline
     from tpusdr.models import receiver
     from tpusdr.ops import cplx
-    from tpusdr.utils.profiling import scan_marginal
+    from tpusdr.utils.profiling import scan_marginal, tile_ticks
 
     fs = 20.0e6  # bench at the reference's design-point rate
     chain, spec = receiver.fm_receiver(
@@ -43,23 +49,15 @@ def main() -> None:
         variant=receiver.WBFM,
         audio_rate=48000.0,
     )
-    # 2M samples/tick (0.1 s of signal at 20 Msps; 8M ticks measured ~30%
-    # slower per sample — HBM pressure from the stacked scan inputs).
-    # The MXU chain runs a tick in ~0.5 ms, so the scan arms must stretch
-    # until adjacent-arm gaps (~45 ms) dwarf the tunnel's multi-ms dispatch
-    # jitter: ks=(4,32,64) measured 21-22% spread in r2.  Four arms give 6
-    # pairwise slopes and an interquartile spread (utils/profiling.py) that
-    # rejects the short-gap outliers.  xs HBM: 256 ticks x 2M x 8 B = 4 GB —
-    # uploaded as 16 unique ticks and tiled to 256 ON DEVICE (a 4 GB host
-    # upload through this box's tunnel measured >25 min; the tile is an
-    # HBM-speed copy).
+    # tick = one chain granule (1.28M with the fused front end's 8G rows);
+    # arms up to 256 ticks (328M samples).  xs HBM: 256 x 1.28M x 8 B =
+    # 2.6 GB — uploaded as 16 unique ticks and tiled ON DEVICE (a 4 GB
+    # host upload through this box's tunnel measured >25 min).
     tick = chain.granule * max(1, (1 << 21) // chain.granule)
     ks = (16, 96, 176, 256)
     n_unique = 16
 
     rng = np.random.default_rng(0)
-    from tpusdr.utils.profiling import tile_ticks
-
     xs = tile_ticks(
         cplx.Complex(
             rng.standard_normal((n_unique, tick)).astype(np.float32),
@@ -70,27 +68,34 @@ def main() -> None:
     state0 = jax.device_put(chain.init_state())
 
     @jax.jit
-    def run(state, xs):
+    def run_flat(state, xs):
+        return run_offline(chain, xs, state, mode="flat")
+
+    @jax.jit
+    def run_scan(state, xs):
         return lax.scan(chain.apply, state, xs)
 
     # no max_spread: bench.py is the artifact emitter — it must emit a
     # number with an honest error bar; the hard gate lives in
-    # tests/test_perf.py (VERDICT r3 next #1).
-    # reps=12: the spread is the IQR of per-round estimates; at reps=8 one
-    # run in four measured >10% (r4: 1.8/2.2/3.4 vs one 12.5), the middle-6
-    # IQR at reps=12 rejects a whole bad round-robin pass.
-    m = scan_marginal(run, state0, xs, ks=ks, reps=12)
-    msps = tick / m["per_tick"] / 1e6
+    # tests/test_perf.py.  reps=12: spread is the IQR of per-round
+    # estimates (middle-6 rejects a whole bad round-robin pass).
+    m_flat = scan_marginal(run_flat, state0, xs, ks=ks, reps=12)
+    m_scan = scan_marginal(run_scan, state0, xs, ks=ks, reps=8)
+    flat_msps = tick / m_flat["per_tick"] / 1e6
+    scan_msps = tick / m_scan["per_tick"] / 1e6
     print(
         json.dumps(
             {
                 "metric": "wbfm_chain_msps_per_chip",
-                "method": "scan_marginal_2m_ticks",
-                "value": round(msps, 2),
+                "method": "offline_flat",
+                "value": round(flat_msps, 2),
                 "unit": "Msamples/s",
-                "vs_baseline": round(msps / 20.0, 2),
-                "spread_pct": round(100 * m["spread"], 1),
-                "pair_spread_pct": round(100 * m["pair_spread"], 1),
+                "vs_baseline": round(flat_msps / 20.0, 2),
+                "spread_pct": round(100 * m_flat["spread"], 1),
+                "pair_spread_pct": round(100 * m_flat["pair_spread"], 1),
+                "scan2m_msps": round(scan_msps, 2),
+                "scan2m_spread_pct": round(100 * m_scan["spread"], 1),
+                "tick": tick,
             }
         )
     )

@@ -243,3 +243,30 @@ class TestDot:
         g = build_graph(TestGraph().spec())
         dot2 = to_dot(g, "component")
         assert "cosineSource" in dot2 and "->" in dot2
+
+
+class TestRunOfflineFlat:
+    """run_offline mode='flat' (one whole-capture apply — the r5 headline
+    path) produces the same sample stream as the per-tick scan."""
+
+    def test_flat_equals_scan(self):
+        import numpy as np
+
+        from tpusdr.graph.runner import run_offline
+        from tpusdr.models import receiver
+        from tpusdr.ops import cplx
+
+        rng = np.random.default_rng(11)
+        chain, _ = receiver.fm_receiver(2e6, 300e3, receiver.WBFM, 48000.0)
+        tick, K = chain.granule, 3
+        xs = cplx.Complex(
+            rng.standard_normal((K, tick)).astype(np.float32),
+            rng.standard_normal((K, tick)).astype(np.float32),
+        )
+        _, y_scan = run_offline(chain, xs, mode="scan")
+        _, y_flat = run_offline(chain, xs, mode="flat")
+        np.testing.assert_allclose(
+            np.asarray(y_scan).reshape(-1), np.asarray(y_flat), atol=1e-6
+        )
+        _, y_auto = run_offline(chain, xs, mode="auto")
+        assert y_auto.shape == y_flat.shape

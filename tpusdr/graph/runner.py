@@ -272,15 +272,40 @@ class StreamRunner:
         return state, stats
 
 
-def run_offline(block: Block, x_blocks, state=None):
-    """Offline block processing with lax.scan over stacked ticks — the
-    maximum-throughput path for recorded captures (one device dispatch for
-    the whole capture)."""
+def run_offline(block: Block, x_blocks, state=None, mode: str = "auto"):
+    """Offline block processing of stacked ticks — the maximum-throughput
+    path for recorded captures (one device dispatch for the whole capture).
+
+    ``mode``:
+      * 'flat' — apply the block ONCE to the flattened capture.  With the
+        zero-copy front end (kernels/fir_banded_pallas.banded_fir_prelude)
+        the whole capture's RF stage runs as a single kernel whose DMA
+        reads the input exactly once, and the decimated tail stages
+        amortize their fixed costs over the full capture.  Output is the
+        flat stream (..., total*up/down).
+      * 'scan' — lax.scan over the tick axis (the per-tick streaming
+        step); output keeps the (K, out) tick axis.
+      * 'auto' — 'flat' when the flattened length satisfies the block's
+        granule, else 'scan'.  Chunking invariance (tests/
+        test_graph_chain.py) makes the sample streams identical.
+    """
     import jax.numpy as jnp  # noqa: F401
     from jax import lax
 
+    from tpusdr.ops import cplx as _cplx
+
     if state is None:
         state = block.init_state()
+
+    def flatten(a):
+        return a.reshape((-1,) + a.shape[2:]) if a.ndim >= 2 else a
+
+    if mode == "auto":
+        total = x_blocks.shape[0] * x_blocks.shape[1]
+        mode = "flat" if total % block.granule == 0 else "scan"
+    if mode == "flat":
+        flat = jax.tree_util.tree_map(flatten, x_blocks)
+        return block.apply(state, flat)
 
     def step(carry, x):
         new_carry, y = block.apply(carry, x)

@@ -76,11 +76,16 @@ _MAX_W_BYTES = 8 << 20
 #: (benchmarks/kernel_floor_probe.py), so this knob is the FLOP lever.
 import os as _os
 
+#: 'high' maps to a MANUAL bf16x3 split in the prelude kernel (Mosaic's
+#: in-kernel dot rejects lax.Precision.HIGH): s@W ~ s_hi@W_hi + s_lo@W_hi
+#: + s_hi@W_lo with DEFAULT passes — 3 MXU passes, ~-99 dB, vs HIGHEST's
+#: 6-pass f32-faithful stack.
+_PRECISION_MODE = _os.environ.get("TPUSDR_KERNEL_PRECISION", "highest")
 _KERNEL_PRECISION = {
     "default": jax.lax.Precision.DEFAULT,
-    "high": jax.lax.Precision.HIGH,
+    "high": jax.lax.Precision.HIGHEST,  # legacy kernel: no HIGH in Mosaic
     "highest": jax.lax.Precision.HIGHEST,
-}[_os.environ.get("TPUSDR_KERNEL_PRECISION", "highest")]
+}[_PRECISION_MODE]
 
 
 def _plan(T: int, D: int):
@@ -494,10 +499,13 @@ def _kernel_prelude(
         cr.start()
         ci.start()
 
+    split3 = _PRECISION_MODE == "high"
     dot = functools.partial(
         jnp.dot,
         preferred_element_type=jnp.float32,
-        precision=_KERNEL_PRECISION,
+        precision=(
+            jax.lax.Precision.DEFAULT if split3 else _KERNEL_PRECISION
+        ),
     )
 
     def compute(sr, si, sem_r, sem_i):
@@ -518,19 +526,44 @@ def _kernel_prelude(
             j = _GUARD - b
             return pltpu.roll(s, dma_rows - j, 0)
 
+        lo_rows = (B + 1) * G  # W layout: hi parts stacked above lo parts
+
         def banded_dot(shifts, w):
             # contract only each part's nonzero (128-aligned) column
             # range: part b's band W_b is zero below b*G - (T-1), so a
             # backward part costs ~(T-1)/G of a full-width matmul
             acc = None
-            for b, s_b in shifts:
+            for b, s_parts in shifts:
                 st = part_starts[b]
-                term = dot(s_b[:, st:], w[b * G + st : (b + 1) * G, :])
+                w_hi = w[b * G + st : (b + 1) * G, :]
+                if split3:
+                    s_hi, s_lo = s_parts
+                    w_lo = w[
+                        lo_rows + b * G + st : lo_rows + (b + 1) * G, :
+                    ]
+                    term = (
+                        dot(s_hi[:, st:], w_hi)
+                        + dot(s_lo[:, st:], w_hi)
+                        + dot(s_hi[:, st:], w_lo)
+                    )
+                else:
+                    term = dot(s_parts[:, st:], w_hi)
                 acc = term if acc is None else acc + term
             return acc[0:R, :]
 
-        sr_v = [(b, shifted(sr[:], b)) for b in range(B + 1)]
-        si_v = [(b, shifted(si[:], b)) for b in range(B + 1)]
+        def prep_plane(s):
+            out = []
+            for b in range(B + 1):
+                s_b = shifted(s[:], b)
+                if split3:
+                    s_hi = s_b.astype(jnp.bfloat16).astype(jnp.float32)
+                    out.append((b, (s_hi, s_b - s_hi)))
+                else:
+                    out.append((b, s_b))
+            return out
+
+        sr_v = prep_plane(sr)
+        si_v = prep_plane(si)
         if cplx_taps:
             wr = wr_ref[:]
             wi = wi_ref[:]
@@ -590,17 +623,18 @@ def banded_fir_prelude(
         raise ValueError(f"no program row count divides n_rows={n_rows}")
     cplx_taps = hi is not None
 
-    hr_rev = hr[::-1]
-    wr = jnp.asarray(
-        np.concatenate([_band_off(hr_rev, b, G, D) for b in range(B + 1)], 0)
-    )
-    if cplx_taps:
-        hi_rev = hi[::-1]
-        wi = jnp.asarray(
-            np.concatenate([_band_off(hi_rev, b, G, D) for b in range(B + 1)], 0)
+    def w_stack(h_plane):
+        parts = np.concatenate(
+            [_band_off(h_plane[::-1], b, G, D) for b in range(B + 1)], 0
         )
-    else:
-        wi = wr  # rank-matched placeholder
+        if _PRECISION_MODE != "high":
+            return jnp.asarray(parts)
+        p_hi = parts.astype(np.float32)
+        p_hi = p_hi.astype(jnp.bfloat16).astype(np.float32)
+        return jnp.asarray(np.concatenate([p_hi, parts - p_hi], 0))
+
+    wr = w_stack(hr)
+    wi = w_stack(hi) if cplx_taps else wr  # rank-matched placeholder
 
     fr = x.re.reshape(n_rows, G).astype(jnp.float32)
     fi = x.im.reshape(n_rows, G).astype(jnp.float32)

@@ -376,15 +376,23 @@ def banded_fir_pallas(
 # + the decimated write.  Nothing else.
 
 #: candidate output-rows-per-program for the prelude kernel (first that
-#: divides the tick's row count wins; all are sublane multiples so every
-#: DMA row offset k*R - 8 is provably 8-aligned for Mosaic)
-_RP_CANDIDATES = (40, 32, 24, 16, 8)
+#: divides the tick's row count AND fits VMEM wins; all are sublane
+#: multiples so every DMA row offset k*R - 8 is provably 8-aligned for
+#: Mosaic).  Bigger R = fewer grid programs: the per-program fixed cost
+#: (DMA issue/waits, rolls, branch scaffolding) measured as a first-order
+#: term at R=40 (8 programs per 2M tick), so prefer the largest R the
+#: VMEM budget takes.
+_RP_CANDIDATES = (200, 160, 120, 80, 40, 32, 24, 16, 8)
 _GUARD = 8  # prelude rows carried across ticks (sublane quantum)
 
 
-def _pick_rp(n_rows: int) -> int | None:
+def _pick_rp(n_rows: int, G: int, w_bytes: int) -> int | None:
     for r in _RP_CANDIDATES:
-        if n_rows % r == 0:
+        if n_rows % r:
+            continue
+        # 4 scratch buffers + ~4 rolled relayout copies live at once
+        foot = 8 * (r + _GUARD) * G * 4 + w_bytes
+        if foot <= 80 << 20:
             return r
     return None
 
@@ -422,7 +430,7 @@ def prelude_eligible(T: int, D: int, N: int, complex_taps: bool) -> bool:
         return False
     if N % (_GUARD * G) or N < 2 * _GUARD * G:
         return False
-    return _pick_rp(N // G) is not None
+    return _pick_rp(N // G, G, w_bytes) is not None
 
 
 def _kernel_prelude(
@@ -618,10 +626,14 @@ def banded_fir_prelude(
     if N % (_GUARD * G) or N < 2 * _GUARD * G:
         raise ValueError(f"tick {N} not a usable multiple of 8G={8 * G}")
     n_rows = N // G
-    R = _pick_rp(n_rows)
+    cplx_taps = hi is not None
+    w_parts = B + 1
+    if _PRECISION_MODE == "high":
+        w_parts *= 2  # hi + lo stacks
+    w_bytes = w_parts * G * _C * 4 * (2 if cplx_taps else 1)
+    R = _pick_rp(n_rows, G, w_bytes)
     if R is None:
         raise ValueError(f"no program row count divides n_rows={n_rows}")
-    cplx_taps = hi is not None
 
     def w_stack(h_plane):
         parts = np.concatenate(

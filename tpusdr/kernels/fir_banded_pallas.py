@@ -456,6 +456,7 @@ def _kernel_prelude(
     B,
     cplx_taps,
     part_starts,
+    n_prog,
 ):
     k = pl.program_id(0)
     n = pl.num_programs(0)
@@ -494,18 +495,22 @@ def _kernel_prelude(
         cr.start()
         ci.start()
 
-    # prefetch program k+1 into the other slot (k+1 >= 1 always)
-    @pl.when((k + 1 < n) & (k % 2 == 0))
-    def _():
-        cr, ci = in_copies(k + 1, s1r, s1i, sem_r1, sem_i1)
-        cr.start()
-        ci.start()
+    # prefetch program k+1 into the other slot (k+1 >= 1 always).  The
+    # branches are skipped STRUCTURALLY for a single-program grid: even
+    # untaken, tracing in_copies there would slice dma_rows > n_rows.
+    if n_prog > 1:
 
-    @pl.when((k + 1 < n) & (k % 2 == 1))
-    def _():
-        cr, ci = in_copies(k + 1, s0r, s0i, sem_r0, sem_i0)
-        cr.start()
-        ci.start()
+        @pl.when((k + 1 < n) & (k % 2 == 0))
+        def _():
+            cr, ci = in_copies(k + 1, s1r, s1i, sem_r1, sem_i1)
+            cr.start()
+            ci.start()
+
+        @pl.when((k + 1 < n) & (k % 2 == 1))
+        def _():
+            cr, ci = in_copies(k + 1, s0r, s0i, sem_r0, sem_i0)
+            cr.start()
+            ci.start()
 
     split3 = _PRECISION_MODE == "high"
     dot = functools.partial(
@@ -523,23 +528,24 @@ def _kernel_prelude(
             cr.wait()
             ci.wait()
 
-        @pl.when(k > 0)
-        def _():
-            cr, ci = in_copies(k, sr, si, sem_r, sem_i)
-            cr.wait()
-            ci.wait()
+        if n_prog > 1:
 
-        # part b reads scratch row m + (GUARD - b) for result row m
-        def shifted(s, b):
-            j = _GUARD - b
-            return pltpu.roll(s, dma_rows - j, 0)
+            @pl.when(k > 0)
+            def _():
+                cr, ci = in_copies(k, sr, si, sem_r, sem_i)
+                cr.wait()
+                ci.wait()
 
+        # Result rows are indexed by SCRATCH row (extended row k*R-8+p):
+        # part b contracts scratch rows p-b, so part 0 — the full-width
+        # one — needs NO roll at all, and backward parts roll only their
+        # nonzero column slice (~(T-1)/G of the tile).  The b extra
+        # leading result rows are cut by the [GUARD:GUARD+R] slice below
+        # (slicing the PRODUCT is safe; slicing a matmul lhs hangs the
+        # chip — 2026-08-20 bisect).
         lo_rows = (B + 1) * G  # W layout: hi parts stacked above lo parts
 
         def banded_dot(shifts, w):
-            # contract only each part's nonzero (128-aligned) column
-            # range: part b's band W_b is zero below b*G - (T-1), so a
-            # backward part costs ~(T-1)/G of a full-width matmul
             acc = None
             for b, s_parts in shifts:
                 st = part_starts[b]
@@ -550,19 +556,20 @@ def _kernel_prelude(
                         lo_rows + b * G + st : lo_rows + (b + 1) * G, :
                     ]
                     term = (
-                        dot(s_hi[:, st:], w_hi)
-                        + dot(s_lo[:, st:], w_hi)
-                        + dot(s_hi[:, st:], w_lo)
+                        dot(s_hi, w_hi) + dot(s_lo, w_hi) + dot(s_hi, w_lo)
                     )
                 else:
-                    term = dot(s_parts[:, st:], w_hi)
+                    term = dot(s_parts, w_hi)
                 acc = term if acc is None else acc + term
-            return acc[0:R, :]
+            return acc[_GUARD : _GUARD + R, :]
 
         def prep_plane(s):
             out = []
+            full = s[:]
             for b in range(B + 1):
-                s_b = shifted(s[:], b)
+                st = part_starts[b]
+                sl = full[:, st:] if st else full
+                s_b = sl if b == 0 else pltpu.roll(sl, b, 0)
                 if split3:
                     s_hi = s_b.astype(jnp.bfloat16).astype(jnp.float32)
                     out.append((b, (s_hi, s_b - s_hi)))
@@ -662,6 +669,7 @@ def banded_fir_prelude(
             part_starts=tuple(
                 (max(0, b * G - (T - 1)) // 128) * 128 for b in range(B + 1)
             ),
+            n_prog=n_rows // R,
         ),
         grid=(n_rows // R,),
         in_specs=[

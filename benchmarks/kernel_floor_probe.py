@@ -41,7 +41,8 @@ def main() -> None:
         help="kernel MXU precision (TPUSDR_KERNEL_PRECISION)",
     )
     ap.add_argument(
-        "--only", default="all", choices=("all", "prelude", "legacy"),
+        "--only", default="all",
+        choices=("all", "prelude", "legacy", "dma", "noslice"),
     )
     args = ap.parse_args()
 
@@ -87,6 +88,51 @@ def main() -> None:
     tail0 = cplx.Complex(
         np.zeros(T - 1, np.float32), np.zeros(T - 1, np.float32)
     )
+
+    if args.only == "dma":
+        dma_floor(args, tick, ks, xs)
+        return
+
+    if args.only == "noslice":
+        # prelude kernel on a CLOSED-OVER single tick: the scan body never
+        # slices xs, isolating the stacked-input slice copy's cost
+        pre_state = cplx.Complex(
+            np.zeros((_GUARD, G), np.float32),
+            np.zeros((_GUARD, G), np.float32),
+        )
+        x_fix = cplx.Complex(xs.re[0], xs.im[0])
+
+        @jax.jit
+        def run_noslice(pre, dummy):
+            import jax.numpy as jnp
+
+            def step(pre, _):
+                y = banded_fir_prelude(x_fix, pre, ctaps, D, interpret)
+                # thread the output back into the carry so XLA cannot
+                # hoist the loop-invariant kernel call out of the scan
+                # (the first run measured 0.001 ms/tick: fully hoisted);
+                # the perturbation is numerically nil (~1e-38 * y)
+                c = 1.0 + y.re[0] * jnp.float32(1e-38)
+                return cplx.Complex(pre.re * c, pre.im * c), y[::1024]
+
+            return lax.scan(step, pre, dummy)
+
+        m = scan_marginal(
+            run_noslice,
+            jax.device_put(pre_state),
+            np.zeros((max(ks), 1), np.float32),
+            ks=ks,
+            reps=args.reps,
+        )
+        msps = tick / m["per_tick"] / 1e6
+        emit(
+            metric="kernel_prelude_noslice_msps",
+            value=round(msps, 1),
+            per_tick_ms=round(m["per_tick"] * 1e3, 3),
+            spread_pct=round(100 * m["spread"], 1),
+            precision=os.environ.get("TPUSDR_KERNEL_PRECISION", "highest"),
+        )
+        return
 
     if args.only in ("all", "prelude"):
         # --- value check COMPILED on chip (host fetch is the only fault
@@ -201,6 +247,131 @@ def main() -> None:
             implied_min_traffic_gbps=round(gbps, 1),
             ceiling_2d_gbps=561.5,
         )
+
+
+
+
+def dma_floor(args, tick, ks, xs):
+    """Pure DMA + output-write kernel: the kernel's memory floor with zero
+    MXU work — isolates the HBM->VMEM DMA rate the prelude kernel sees."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tpusdr.ops import cplx
+    from tpusdr.utils.profiling import scan_marginal
+
+    G = 6400
+    n_rows = tick // G
+    R = 160 if n_rows % 160 == 0 else 40
+    n_prog = n_rows // R
+
+    def kern(xr_ref, xi_ref, or_ref, oi_ref, s0r, s0i, s1r, s1i,
+             m0r, m0i, m1r, m1i, *, R, n_prog):
+        k = pl.program_id(0)
+        n = pl.num_programs(0)
+
+        def copies(kk, sr, si, mr, mi):
+            cr = pltpu.make_async_copy(
+                xr_ref.at[pl.ds(kk * R, R), :], sr, mr
+            )
+            ci = pltpu.make_async_copy(
+                xi_ref.at[pl.ds(kk * R, R), :], si, mi
+            )
+            return cr, ci
+
+        @pl.when(k == 0)
+        def _():
+            cr, ci = copies(0, s0r, s0i, m0r, m0i)
+            cr.start()
+            ci.start()
+
+        if n_prog > 1:
+
+            @pl.when((k + 1 < n) & (k % 2 == 0))
+            def _():
+                cr, ci = copies(k + 1, s1r, s1i, m1r, m1i)
+                cr.start()
+                ci.start()
+
+            @pl.when((k + 1 < n) & (k % 2 == 1))
+            def _():
+                cr, ci = copies(k + 1, s0r, s0i, m0r, m0i)
+                cr.start()
+                ci.start()
+
+        def emit_out(sr, si, mr, mi):
+            cr, ci = copies(k, sr, si, mr, mi)
+            cr.wait()
+            ci.wait()
+            or_ref[:] = sr[0:R, 0:128]
+            oi_ref[:] = si[0:R, 0:128]
+
+        @pl.when(k % 2 == 0)
+        def _():
+            emit_out(s0r, s0i, m0r, m0i)
+
+        @pl.when(k % 2 == 1)
+        def _():
+            emit_out(s1r, s1i, m1r, m1i)
+
+    def dma_once(x):
+        fr = x.re.reshape(n_rows, G)
+        fi = x.im.reshape(n_rows, G)
+        yr, yi = pl.pallas_call(
+            functools.partial(kern, R=R, n_prog=n_prog),
+            grid=(n_prog,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=(
+                pl.BlockSpec((R, 128), lambda k: (k, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, 128), lambda k: (k, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_rows, 128), jnp.float32),
+                jax.ShapeDtypeStruct((n_rows, 128), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((R, G), jnp.float32),
+                pltpu.VMEM((R, G), jnp.float32),
+                pltpu.VMEM((R, G), jnp.float32),
+                pltpu.VMEM((R, G), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 << 20),
+        )(fr, fi)
+        return cplx.Complex(yr, yi)
+
+    @jax.jit
+    def run(c, xs):
+        def step(c, x):
+            return c, dma_once(x)
+
+        return lax.scan(step, c, xs)
+
+    m = scan_marginal(run, jax.device_put(np.float32(0)), xs, ks=ks,
+                      reps=args.reps)
+    msps = tick / m["per_tick"] / 1e6
+    emit(
+        metric="dma_floor_msps",
+        value=round(msps, 1),
+        per_tick_ms=round(m["per_tick"] * 1e3, 3),
+        spread_pct=round(100 * m["spread"], 1),
+        dma_gbps=round(msps * 1e6 * 8 / 1e9, 1),
+        note="DMA in + (R,128) out only; includes the scan slice like "
+        "every other arm",
+    )
 
 
 if __name__ == "__main__":

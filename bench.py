@@ -6,24 +6,26 @@ The reference's implied design point is real-time 20 Msps complex ingest
 (HackRF max rate, nbfm_test.cpp:415) on one NVIDIA GPU; `vs_baseline` is
 the multiple of that rate this chip sustains.
 
-Headline method (r5): the production OFFLINE path — `run_offline` mode
-'flat' applies the chain once to the whole capture; the zero-copy prelude
-kernel (kernels/fir_banded_pallas.banded_fir_prelude) reads the capture
-exactly once by DMA and the decimated tail stages amortize their fixed
-costs.  Chunking invariance (tests/test_graph_chain.py) makes this the
-same sample stream the per-tick path produces.  The per-tick scan method
-(r2-r4 headline) is also measured and reported as `scan2m_msps` so rounds
-stay comparable — metric names are method-qualified (VERDICT r4 weak #4).
+Headline method: lax.scan over granule-sized ticks with carried state —
+the production offline path (run_offline mode='scan').  r5 measured the
+whole-capture 'flat' alternative on chip and it LOSES (4433 vs 5000
+Msps chain; the scan's per-tick buffer reuse wins — PROFILE_r05.json,
+offline_flat_probe.py), so the scan stays the headline and the metric
+name is method-qualified "scan_marginal_2m_ticks" (VERDICT r4 weak #4).
+The r5 front end is the zero-copy prelude kernel (kernels/
+fir_banded_pallas.banded_fir_prelude): the tick is read straight from
+its (N/G, G) reshape by double-buffered DMA, nothing is copied outside
+the kernel.
 
-Both use scan-marginal/Theil-Sen slopes over capture length (utils/
-profiling.scan_marginal): this box's ~40 ms tunnel dispatch makes
-dispatch-loop timing garbage; the slope over lengths isolates marginal
-per-sample cost, and `spread_pct` is the IQR of per-round estimates.
+Methodology (utils/profiling.scan_marginal): Theil-Sen slope over scan
+lengths visited round-robin — this box's ~40 ms tunnel dispatch makes
+dispatch-loop timing garbage; `spread_pct` is the IQR of per-round
+estimates (the error bar OF THE ESTIMATE).
 
 Prints ONE JSON line:
-  {"metric": "wbfm_chain_msps_per_chip", "method": "offline_flat",
-   "value": N, "unit": "Msamples/s", "vs_baseline": N/20,
-   "spread_pct": S, "scan2m_msps": M, "scan2m_spread_pct": S2}
+  {"metric": "wbfm_chain_msps_per_chip", "method":
+   "scan_marginal_2m_ticks", "value": N, "unit": "Msamples/s",
+   "vs_baseline": N/20, "spread_pct": S}
 """
 
 from __future__ import annotations
@@ -37,7 +39,6 @@ def main() -> None:
     import jax
     from jax import lax
 
-    from tpusdr.graph.runner import run_offline
     from tpusdr.models import receiver
     from tpusdr.ops import cplx
     from tpusdr.utils.profiling import scan_marginal, tile_ticks
@@ -68,10 +69,6 @@ def main() -> None:
     state0 = jax.device_put(chain.init_state())
 
     @jax.jit
-    def run_flat(state, xs):
-        return run_offline(chain, xs, state, mode="flat")
-
-    @jax.jit
     def run_scan(state, xs):
         return lax.scan(chain.apply, state, xs)
 
@@ -79,22 +76,18 @@ def main() -> None:
     # number with an honest error bar; the hard gate lives in
     # tests/test_perf.py.  reps=12: spread is the IQR of per-round
     # estimates (middle-6 rejects a whole bad round-robin pass).
-    m_flat = scan_marginal(run_flat, state0, xs, ks=ks, reps=12)
-    m_scan = scan_marginal(run_scan, state0, xs, ks=ks, reps=8)
-    flat_msps = tick / m_flat["per_tick"] / 1e6
+    m_scan = scan_marginal(run_scan, state0, xs, ks=ks, reps=12)
     scan_msps = tick / m_scan["per_tick"] / 1e6
     print(
         json.dumps(
             {
                 "metric": "wbfm_chain_msps_per_chip",
-                "method": "offline_flat",
-                "value": round(flat_msps, 2),
+                "method": "scan_marginal_2m_ticks",
+                "value": round(scan_msps, 2),
                 "unit": "Msamples/s",
-                "vs_baseline": round(flat_msps / 20.0, 2),
-                "spread_pct": round(100 * m_flat["spread"], 1),
-                "pair_spread_pct": round(100 * m_flat["pair_spread"], 1),
-                "scan2m_msps": round(scan_msps, 2),
-                "scan2m_spread_pct": round(100 * m_scan["spread"], 1),
+                "vs_baseline": round(scan_msps / 20.0, 2),
+                "spread_pct": round(100 * m_scan["spread"], 1),
+                "pair_spread_pct": round(100 * m_scan["pair_spread"], 1),
                 "tick": tick,
             }
         )

@@ -90,7 +90,8 @@ def main() -> None:
     )
 
     if args.only == "dma":
-        dma_floor(args, tick, ks, xs)
+        for n_split in (1, 4, 8):
+            dma_floor(args, tick, ks, xs, n_split=n_split)
         return
 
     if args.only == "noslice":
@@ -251,9 +252,11 @@ def main() -> None:
 
 
 
-def dma_floor(args, tick, ks, xs):
+def dma_floor(args, tick, ks, xs, n_split: int = 1):
     """Pure DMA + output-write kernel: the kernel's memory floor with zero
-    MXU work — isolates the HBM->VMEM DMA rate the prelude kernel sees."""
+    MXU work — isolates the HBM->VMEM DMA rate the prelude kernel sees.
+    ``n_split``: split each plane's tile into that many column chunks
+    issued as CONCURRENT DMAs (the multi-engine trick)."""
     import functools
 
     import jax
@@ -270,54 +273,60 @@ def dma_floor(args, tick, ks, xs):
     R = 160 if n_rows % 160 == 0 else 40
     n_prog = n_rows // R
 
+    C = G // n_split
+
     def kern(xr_ref, xi_ref, or_ref, oi_ref, s0r, s0i, s1r, s1i,
-             m0r, m0i, m1r, m1i, *, R, n_prog):
+             *sems, R, n_prog):
         k = pl.program_id(0)
         n = pl.num_programs(0)
+        half = len(sems) // 2
 
-        def copies(kk, sr, si, mr, mi):
-            cr = pltpu.make_async_copy(
-                xr_ref.at[pl.ds(kk * R, R), :], sr, mr
-            )
-            ci = pltpu.make_async_copy(
-                xi_ref.at[pl.ds(kk * R, R), :], si, mi
-            )
-            return cr, ci
+        def copies(kk, sr, si, slot):
+            ms = sems[slot * half : (slot + 1) * half]
+            out = []
+            for c in range(n_split):
+                out.append(pltpu.make_async_copy(
+                    xr_ref.at[pl.ds(kk * R, R), pl.ds(c * C, C)],
+                    sr.at[:, pl.ds(c * C, C)],
+                    ms[2 * c],
+                ))
+                out.append(pltpu.make_async_copy(
+                    xi_ref.at[pl.ds(kk * R, R), pl.ds(c * C, C)],
+                    si.at[:, pl.ds(c * C, C)],
+                    ms[2 * c + 1],
+                ))
+            return out
 
         @pl.when(k == 0)
         def _():
-            cr, ci = copies(0, s0r, s0i, m0r, m0i)
-            cr.start()
-            ci.start()
+            for cp in copies(0, s0r, s0i, 0):
+                cp.start()
 
         if n_prog > 1:
 
             @pl.when((k + 1 < n) & (k % 2 == 0))
             def _():
-                cr, ci = copies(k + 1, s1r, s1i, m1r, m1i)
-                cr.start()
-                ci.start()
+                for cp in copies(k + 1, s1r, s1i, 1):
+                    cp.start()
 
             @pl.when((k + 1 < n) & (k % 2 == 1))
             def _():
-                cr, ci = copies(k + 1, s0r, s0i, m0r, m0i)
-                cr.start()
-                ci.start()
+                for cp in copies(k + 1, s0r, s0i, 0):
+                    cp.start()
 
-        def emit_out(sr, si, mr, mi):
-            cr, ci = copies(k, sr, si, mr, mi)
-            cr.wait()
-            ci.wait()
+        def emit_out(sr, si, slot):
+            for cp in copies(k, sr, si, slot):
+                cp.wait()
             or_ref[:] = sr[0:R, 0:128]
             oi_ref[:] = si[0:R, 0:128]
 
         @pl.when(k % 2 == 0)
         def _():
-            emit_out(s0r, s0i, m0r, m0i)
+            emit_out(s0r, s0i, 0)
 
         @pl.when(k % 2 == 1)
         def _():
-            emit_out(s1r, s1i, m1r, m1i)
+            emit_out(s1r, s1i, 1)
 
     def dma_once(x):
         fr = x.re.reshape(n_rows, G)
@@ -344,11 +353,7 @@ def dma_floor(args, tick, ks, xs):
                 pltpu.VMEM((R, G), jnp.float32),
                 pltpu.VMEM((R, G), jnp.float32),
                 pltpu.VMEM((R, G), jnp.float32),
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA,
-            ],
+            ] + [pltpu.SemaphoreType.DMA] * (4 * n_split),
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 << 20),
         )(fr, fi)
         return cplx.Complex(yr, yi)
@@ -364,7 +369,7 @@ def dma_floor(args, tick, ks, xs):
                       reps=args.reps)
     msps = tick / m["per_tick"] / 1e6
     emit(
-        metric="dma_floor_msps",
+        metric=f"dma_floor_split{n_split}_msps",
         value=round(msps, 1),
         per_tick_ms=round(m["per_tick"] * 1e3, 3),
         spread_pct=round(100 * m["spread"], 1),

@@ -90,7 +90,9 @@ def main() -> None:
     )
 
     if args.only == "dma":
-        for n_split in (1, 4, 8):
+        # chunk width must be whole 128-lane tiles: G=6400 has 50 tiles,
+        # so valid column splits divide 50
+        for n_split in (2, 5, 10):
             dma_floor(args, tick, ks, xs, n_split=n_split)
         return
 

@@ -174,23 +174,17 @@ def fm_receiver(
             (design.lowpass_taps(rf_sample_rate, cutoff, transition, db_attenuation), d1)
         ]
     if use_fused == "auto":
-        # fused front end only where it measured faster: on-chip compiled
-        # Pallas (interpret mode on CPU measured ~1.6x SLOWER than the
-        # unfused XLA chain — ADVICE r4), the plan is a single stage
-        # anyway, and the banded MXU kernel takes the shape.  Explicit
-        # fold_shift=False / fir_mode overrides keep the unfused cascade:
-        # FusedFmDemod always folds the shift and picks its own kernel, so
-        # resolving True would silently ignore the caller's choice.
-        from tpusdr.kernels.dispatch import pallas_mode
-        from tpusdr.kernels.fir_banded_pallas import eligible
-
-        use_fused = (
-            pallas_mode() == "compiled"
-            and fold_shift
-            and fir_mode == "auto"
-            and len(rf_stages) == 1
-            and eligible(len(rf_stages[0][0]), d1, complex_taps=True)
-        )
+        # 'auto' resolves to the chain that measured FASTER on chip at the
+        # design shape.  r4 measured the fused Pallas front end ahead
+        # (4983 vs 4675 Msps); r5's re-measurement with the improved
+        # kernels flipped it: the unfused XLA chain (folded-shift MXU
+        # FreqShiftFir) wins 5596 vs 5126 (BENCH_configs_r05, spreads
+        # 4.7/2.5%) because the Pallas path is capped by this stack's
+        # ~60-80 GB/s HBM->VMEM DMA rate while XLA's window
+        # materialization runs at its 251-561 GB/s copy rates
+        # (PROFILE_r05.json dma_floor).  The fused front end stays
+        # opt-in (use_fused=True) for shapes/stacks where DMA is faster.
+        use_fused = False
     rf_taps = rf_stages[0][0]  # single-stage taps for the fused path
 
     gain = demod.quad_fm_demod_gain(quad_rate, channel_width)

@@ -78,46 +78,67 @@ def main() -> None:
     tick = chain.granule * max(1, args.tick // chain.granule)
 
     stream = NativeFileStream(capture, tick, "int8", loop=True)
-    src = (raw.view(np.int16) for raw in stream)
     runner = StreamRunner(chain, pipeline_depth=3)
-    sink = WavSink("/tmp/soak.wav", 48000.0)
 
-    # compile block first (excluded from every window)
-    state, warm = runner.run(src, sink, max_blocks=1)
-    emit(event="compiled", seconds=round(warm.wall_seconds, 1), rss_mb=rss_mb())
-
+    # ONE runner.run for the whole soak — the production shape (a
+    # receiver runs until stopped, not in 4-block bites; the r5 first
+    # soak drove 629 short run() calls and leaked ~16 GB RSS through
+    # per-call upload threads, which a real deployment never creates).
+    # The source stops at the deadline; a sink wrapper collects windows.
     deadline = time.time() + args.minutes * 60.0
     windows = []
-    w_t0 = time.perf_counter()
-    w_samples = 0
-    total_samples = 0
-    blocks = 0
-    while time.time() < deadline:
-        state, stats = runner.run(src, sink, state=state, max_blocks=4)
-        if stats.blocks == 0:
-            emit(event="source_dry")
-            break
-        blocks += stats.blocks
-        w_samples += stats.samples_in
-        total_samples += stats.samples_in
-        now = time.perf_counter()
-        if now - w_t0 >= args.window_s:
-            windows.append(
-                {
-                    "t_s": round(now - w_t0, 1),
-                    "msps": round(w_samples / (now - w_t0) / 1e6, 2),
-                    "rss_mb": round(rss_mb(), 1),
-                    "ring_dropped": stream.ring.dropped,
-                }
-            )
-            emit(event="window", **windows[-1])
-            w_t0, w_samples = now, 0
-    sink.close()
+
+    def timed_src():
+        for raw in stream:
+            if time.time() >= deadline:
+                return
+            yield raw.view(np.int16)
+
+    class WindowSink:
+        """WAV sink + wall-clock windowed Msps/RSS/drops collection."""
+
+        def __init__(self):
+            self.wav = WavSink("/tmp/soak.wav", 48000.0)
+            self.t0 = time.perf_counter()
+            self.samples_in_window = 0
+
+        def write(self, out):
+            self.wav.write(out)
+            # audio samples -> input samples via the chain ratio
+            self.samples_in_window += out.shape[-1] * chain.down // chain.up
+            now = time.perf_counter()
+            if now - self.t0 >= args.window_s:
+                windows.append(
+                    {
+                        "t_s": round(now - self.t0, 1),
+                        "msps": round(
+                            self.samples_in_window / (now - self.t0) / 1e6, 2
+                        ),
+                        "rss_mb": round(rss_mb(), 1),
+                        "ring_dropped": stream.ring.dropped,
+                    }
+                )
+                emit(event="window", **windows[-1])
+                self.t0, self.samples_in_window = now, 0
+
+    sink = WindowSink()
+    t_start = time.perf_counter()
+    state, stats = runner.run(timed_src(), sink)
+    blocks, total_samples = stats.blocks, stats.samples_in
+    emit(
+        event="run_done",
+        blocks=blocks,
+        wall_s=round(time.perf_counter() - t_start, 1),
+    )
+    sink.wav.close()
     stream.close()
 
     if windows:
-        rates = [w["msps"] for w in windows]
-        rss = [w["rss_mb"] for w in windows]
+        # window 0 absorbs the jit compile (~1-5 min through this
+        # tunnel); steady state starts at window 1
+        steady = windows[1:] if len(windows) > 2 else windows
+        rates = [w["msps"] for w in steady]
+        rss = [w["rss_mb"] for w in steady]
         emit(
             event="summary",
             minutes=args.minutes,

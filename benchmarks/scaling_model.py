@@ -57,9 +57,9 @@ def main() -> None:
     ap.add_argument(
         "--rate-msps",
         type=float,
-        default=4781.7,
-        help="measured single-chip WBFM chain rate (BENCH_r04 headline; "
-        "pass the r5 number when it lands)",
+        default=5596.0,
+        help="measured single-chip WBFM chain rate (BENCH_configs_r05 "
+        "unfused row; the faster the chip, the harder the target)",
     )
     ap.add_argument("--fs", type=float, default=100e6, help="capture rate (config 5)")
     ap.add_argument("--ici-gbps", type=float, default=45.0, help="GB/s per link/dir")
@@ -152,7 +152,7 @@ def main() -> None:
         }
 
     for n in (8, 32, 256):
-        for tick_s in (0.1, 1.0, 4.0):
+        for tick_s in (0.1, 1.0, 4.0, 8.0):
             for mode in ("stagewise", "chainwide"):
                 row = efficiency(n, tick_s, mode)
                 if row:

@@ -328,3 +328,72 @@ class TestPreludeKernel:
         np.testing.assert_allclose(
             np.asarray(y.im), np.asarray(ref.im)[:M], atol=1e-5
         )
+
+
+class TestPreludeEdges:
+    def test_mixed_tick_sizes_keep_continuity(self, rng):
+        """A prelude-path tick, then a non-8G tick (hist path), then a
+        prelude tick again: the carried v_prev must stay right across
+        the path switch (the hist path re-derives it from its extended
+        window's extra output)."""
+        import os
+
+        import scipy.signal as sps
+
+        from tpusdr.graph import blocks as B
+
+        t = sps.firwin(65, 0.1).astype(np.float32)
+        blk = B.FusedFmDemod(1e6, -150e3, t, 8, gain=1.7)
+        n_pre = 48 * 1024  # 8G multiple -> prelude kernel
+        n_odd = 48 * 1024 + 64  # not a G multiple -> hist path
+        total = 2 * n_pre + n_odd
+        z = (
+            rng.standard_normal(total) + 1j * rng.standard_normal(total)
+        ).astype(np.complex64)
+        xs = cplx.from_numpy(z)
+        cuts = [0, n_pre, n_pre + n_odd, total]
+
+        def run():
+            s = blk.init_state()
+            outs = []
+            for a, b in zip(cuts[:-1], cuts[1:]):
+                s, y = blk.apply(s, xs[a:b])
+                outs.append(np.asarray(y))
+            return np.concatenate(outs)
+
+        y_mixed = run()
+        os.environ["TPUSDR_PALLAS"] = "xla"
+        try:
+            y_ref = run()
+        finally:
+            del os.environ["TPUSDR_PALLAS"]
+        np.testing.assert_allclose(y_mixed, y_ref, atol=2e-3)
+
+    def test_stagewise_sharding_with_fused_chain(self, rng):
+        """Per-stage-rate halos over a chain whose front end is the
+        prelude-kernel FusedFmDemod (granule 8G; cold halo warmup must
+        honor the row-carry state shape)."""
+        from tests.test_parallel import assert_shard_stable, run_unsharded
+        from tpusdr.parallel.halo import TimeShardedStream
+        from tpusdr.parallel.mesh import make_mesh
+
+        fs = 1e6
+        chain, _ = receiver.fm_receiver(
+            fs, 125e3, receiver.WBFM, deemphasis_tau=None, use_fused=True
+        )
+        mesh = make_mesh(4)
+        tss = TimeShardedStream(chain, mesh, stagewise=True)
+        tick = tss.tick_granule * max(
+            1, (tss.halo + 4096) * 4 // tss.tick_granule
+        )
+        z = (rng.standard_normal(2 * tick) + 1j * rng.standard_normal(2 * tick)).astype(
+            np.complex64
+        )
+        zp = cplx.from_numpy(z)
+        ref = run_unsharded(chain, zp, 2)
+        carry = tss.init_carry()
+        outs = []
+        for i in range(2):
+            carry, y = tss.step(carry, zp[..., i * tick : (i + 1) * tick])
+            outs.append(np.asarray(y))
+        assert_shard_stable(np.concatenate(outs), ref)

@@ -216,6 +216,7 @@ class StreamRunner:
                 if max_blocks is not None and i + 1 >= max_blocks:
                     return
 
+        stop = threading.Event()
         if self.upload_depth > 0:
             # Upload thread: read + device_put the NEXT blocks while the
             # main thread runs compute and output fetch on the current one.
@@ -225,14 +226,27 @@ class StreamRunner:
             uq: _queue.Queue = _queue.Queue(maxsize=self.upload_depth)
             _END = object()
 
+            def put(item) -> bool:
+                # bounded put that gives up when the consumer abandoned
+                # the run (sink/step failure) — never leaves the thread
+                # blocked holding device buffers
+                while not stop.is_set():
+                    try:
+                        uq.put(item, timeout=0.1)
+                        return True
+                    except _queue.Full:
+                        continue
+                return False
+
             def feeder():
                 try:
                     for raw in bounded():
-                        uq.put((raw.shape[-1], upload(raw)))
+                        if not put((raw.shape[-1], upload(raw))):
+                            return
                 except BaseException as e:  # propagate into the main loop
-                    uq.put((_END, e))
+                    put((_END, e))
                     return
-                uq.put((_END, None))
+                put((_END, None))
 
             th = threading.Thread(target=feeder, daemon=True)
             th.start()
@@ -250,16 +264,19 @@ class StreamRunner:
         else:
             blocks = ((raw.shape[-1], upload(raw)) for raw in bounded())
 
-        for n_in, x in blocks:
-            state, y = self._step(state, x)
-            stats.blocks += 1
-            stats.samples_in += n_in
-            pending.append(y)
-            if len(pending) > self.pipeline_depth:
-                drain(pending.popleft())
+        try:
+            for n_in, x in blocks:
+                state, y = self._step(state, x)
+                stats.blocks += 1
+                stats.samples_in += n_in
+                pending.append(y)
+                if len(pending) > self.pipeline_depth:
+                    drain(pending.popleft())
 
-        while pending:
-            drain(pending.popleft())
+            while pending:
+                drain(pending.popleft())
+        finally:
+            stop.set()
 
         stats.samples_out = stats.samples_out_ports[0]
         stats.wall_seconds = time.perf_counter() - t0

@@ -235,28 +235,23 @@ def _mxu_tile_width(T: int, D: int, M: int) -> int:
     return c
 
 
-def _mxu_windows(x: jnp.ndarray, c: int, D: int, T: int, M: int) -> jnp.ndarray:
-    """(..., L) -> (..., rows, K) window matrix A[r, i] = x[r*c*D + i]."""
+def _mxu_row_chunks(x: jnp.ndarray, c: int, D: int, T: int, M: int):
+    """(..., L) -> the padded (..., rows+q, G) row-chunk view + (q, K).
+
+    Row r of the logical window matrix A[r, i] = x[r*G + i] (width K)
+    spans q+1 consecutive row chunks; instead of concatenating them into a
+    materialized A (~2x the signal bytes written + read back — the r2-r4
+    form), the contraction is split over the band, A @ W = sum_j A_j @ W_j,
+    where each A_j is a CONTIGUOUS row-slice VIEW of this reshape that XLA
+    feeds to the matmul without a copy.  Same trick as the Pallas kernel's
+    band parts, in pure XLA."""
     G = c * D
     K = (c - 1) * D + T
     n_rows = cdiv(M, c)
     q = cdiv(T - 1, G)  # extra row-chunks the window tail spans
     pad = (n_rows + q) * G - x.shape[-1]
     x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)]).astype(jnp.float32)
-    R = x.reshape(x.shape[:-1] + (n_rows + q, G))
-    # Trim each chunk to what the K-window actually uses before the concat
-    # so the materialized width is exactly K, not (q+1)*G (for the
-    # production q=1 shapes the untrimmed concat wrote ~2x the window
-    # bytes).  A chunk's width can be < G (or the chunk entirely unused)
-    # when the window tail barely crosses a row-chunk boundary.
-    parts = []
-    for j in range(q + 1):
-        w = min(G, K - j * G)
-        if w <= 0:
-            break
-        p = lax.slice_in_dim(R, j, j + n_rows, axis=-2)
-        parts.append(p if w == G else p[..., :w])
-    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+    return x.reshape(x.shape[:-1] + (n_rows + q, G)), q, K, n_rows
 
 
 def _mxu_band(taps: jnp.ndarray, c: int, D: int) -> jnp.ndarray:
@@ -274,11 +269,23 @@ def _mxu_band(taps: jnp.ndarray, c: int, D: int) -> jnp.ndarray:
     )
 
 
-def _mxu_matmul(A, W, M: int, precision=None) -> jnp.ndarray:
-    y = jnp.einsum(
-        "...rk,kc->...rc", A, W,
-        precision=_MXU_PRECISION if precision is None else precision,
-    )
+def _mxu_matmul(R, q, K, n_rows, W, c, D, M: int, precision=None) -> jnp.ndarray:
+    """Banded contraction over row-chunk part views: y = sum_j A_j @ W_j."""
+    G = c * D
+    prec = _MXU_PRECISION if precision is None else precision
+    acc = None
+    for j in range(q + 1):
+        w = min(G, K - j * G)
+        if w <= 0:
+            break
+        a_j = lax.slice_in_dim(R, j, j + n_rows, axis=-2)
+        if w < G:
+            a_j = a_j[..., :w]
+        term = jnp.einsum(
+            "...rk,kc->...rc", a_j, W[j * G : j * G + w, :], precision=prec
+        )
+        acc = term if acc is None else acc + term
+    y = acc
     return y.reshape(y.shape[:-2] + (-1,))[..., :M]
 
 
@@ -298,8 +305,8 @@ def _fir_mxu(
     """
     T = taps.shape[-1]
     c = _mxu_tile_width(T, D, M)
-    A = _mxu_windows(x, c, D, T, M)
-    return _mxu_matmul(A, _mxu_band(taps, c, D), M, precision)
+    R, q, K, n_rows = _mxu_row_chunks(x, c, D, T, M)
+    return _mxu_matmul(R, q, K, n_rows, _mxu_band(taps, c, D), c, D, M, precision)
 
 
 def _fir_mxu_cc(
@@ -314,13 +321,17 @@ def _fir_mxu_cc(
     """
     T = hp.shape[-1]
     c = _mxu_tile_width(T, D, M)
-    Ar = _mxu_windows(xp.re, c, D, T, M)
-    Ai = _mxu_windows(xp.im, c, D, T, M)
+    Rr, q, K, n_rows = _mxu_row_chunks(xp.re, c, D, T, M)
+    Ri, _, _, _ = _mxu_row_chunks(xp.im, c, D, T, M)
     Wr = _mxu_band(hp.re, c, D)
     Wi = _mxu_band(hp.im, c, D)
+
+    def mm(R, W):
+        return _mxu_matmul(R, q, K, n_rows, W, c, D, M, precision)
+
     return cplx.Complex(
-        _mxu_matmul(Ar, Wr, M, precision) - _mxu_matmul(Ai, Wi, M, precision),
-        _mxu_matmul(Ar, Wi, M, precision) + _mxu_matmul(Ai, Wr, M, precision),
+        mm(Rr, Wr) - mm(Ri, Wi),
+        mm(Rr, Wi) + mm(Ri, Wr),
     )
 
 

@@ -397,3 +397,49 @@ class TestPreludeEdges:
             carry, y = tss.step(carry, zp[..., i * tick : (i + 1) * tick])
             outs.append(np.asarray(y))
         assert_shard_stable(np.concatenate(outs), ref)
+
+    def test_prelude_multi_backward_parts(self, rng):
+        """Taps longer than one decimation row (T-1 > G -> B=3 backward
+        parts): the generalized band split + part-start trimming must
+        still match the XLA windows."""
+        import scipy.signal as sps
+
+        from tpusdr.kernels.fir_banded_pallas import (
+            _GUARD,
+            banded_fir_prelude,
+            prelude_eligible,
+            prelude_plan,
+        )
+        from tpusdr.ops import fir
+
+        T, D = 2500, 8
+        G, B = prelude_plan(T, D)
+        assert B == 3
+        N = 48 * G
+        assert prelude_eligible(T, D, N, True)
+        taps = sps.firwin(T, 0.01).astype(np.float32)
+        ct = (taps * np.exp(-2j * np.pi * 0.11 * np.arange(T))).astype(
+            np.complex64
+        )
+        pre = cplx.Complex(
+            rng.standard_normal((_GUARD, G)).astype(np.float32),
+            rng.standard_normal((_GUARD, G)).astype(np.float32),
+        )
+        x = cplx.Complex(
+            rng.standard_normal(N).astype(np.float32),
+            rng.standard_normal(N).astype(np.float32),
+        )
+        y = banded_fir_prelude(x, pre, ct, D, interpret=True)
+        flat = cplx.Complex(
+            np.concatenate([np.asarray(pre.re).reshape(-1), np.asarray(x.re)]),
+            np.concatenate([np.asarray(pre.im).reshape(-1), np.asarray(x.im)]),
+        )
+        p0 = _GUARD * G - (T - 1)
+        ref = fir.fir_extended(flat[..., p0:], ct, D, mode="mxu")
+        M = N // D
+        np.testing.assert_allclose(
+            np.asarray(y.re), np.asarray(ref.re)[:M], atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(y.im), np.asarray(ref.im)[:M], atol=2e-5
+        )

@@ -219,3 +219,29 @@ class TestJsonUpdates:
         chain = Chain([("add", B.AddConst(1.0))])
         chain.update_block_parameters_json("add", {"addValue": 2.0})
         assert chain.get_block("add").add_value == 2.0
+
+
+class TestFusedFmDemodUpdate:
+    def test_taps_update_recomputes_plan(self):
+        """updateParameters(taps=...) on the fused front end must
+        recompute history/granule/row-capability (Fir setTaps parity,
+        Fir.cpp:124) so the next init_state carries the right shape."""
+        import numpy as np
+        import scipy.signal as sps
+
+        from tpusdr.graph import blocks as B
+        from tpusdr.ops import cplx
+
+        rng = np.random.default_rng(3)
+        blk = B.FusedFmDemod(1e6, -150e3, sps.firwin(65, 0.1), 8, gain=1.0)
+        g0, h0 = blk.granule, blk.history
+        blk.update_parameters(taps=sps.firwin(129, 0.1))
+        assert blk.history == 128 + 8 and blk.history != h0
+        assert blk.granule == g0  # same D -> same row geometry
+        n = blk.granule * 48
+        z = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+            np.complex64
+        )
+        s = blk.init_state()  # sized for the NEW taps
+        s, y = blk.apply(s, cplx.from_numpy(z))
+        assert y.shape == (n // 8,)

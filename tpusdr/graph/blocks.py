@@ -737,6 +737,25 @@ class FusedFmDemod(Block):
     def _params_updated(self, names: frozenset) -> None:
         if names & {"frequency", "sample_rate"}:
             self.inc = osc.freq_to_inc_u32(self.frequency, self.sample_rate)
+        if names & {"taps", "decimation"}:
+            from tpusdr.kernels.fir_banded_pallas import (
+                _GUARD,
+                eligible,
+                prelude_plan,
+            )
+
+            self.taps = np.asarray(self.taps, np.float32)
+            self.decimation = int(self.decimation)
+            self.down = self.decimation
+            self.history = (len(self.taps) - 1) + self.decimation
+            self._G, self._B = prelude_plan(len(self.taps), self.decimation)
+            self._rows_capable = eligible(len(self.taps), self.decimation, True)
+            self._tail_len = (
+                _GUARD * self._G if self._rows_capable else self.history
+            )
+            # carried states sized for the old taps are invalid; the next
+            # init_state() builds the right carry (Fir.cpp:124 setTaps
+            # parity -- the reference also resets its retained buffer)
 
 
 # ---------------------------------------------------------------------------

@@ -245,3 +245,17 @@ class TestFusedFmDemodUpdate:
         s = blk.init_state()  # sized for the NEW taps
         s, y = blk.apply(s, cplx.from_numpy(z))
         assert y.shape == (n // 8,)
+
+    def test_decimation_update_trips_chain_rate_guard(self):
+        """A decimation change is a rate change: the Chain guard must see
+        it (down derives from decimation in _params_updated) and refuse."""
+        import numpy as np
+        import pytest
+        import scipy.signal as sps
+
+        from tpusdr.graph import blocks as B
+        from tpusdr.graph.chain import Chain
+
+        chain = Chain([("fir", B.Fir(sps.firwin(33, 0.2), 4))])
+        with pytest.raises(ValueError, match="rate"):
+            chain.update_block_parameters("fir", decimation=8)

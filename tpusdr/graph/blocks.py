@@ -255,6 +255,11 @@ class Fir(Block):
                 t.astype(np.complex64 if np.iscomplexobj(t) else np.float32)
             )
             self.history = fir.history_len(t.shape[-1])
+        if "decimation" in names:
+            # keep the rate ratio derived, so the Chain-level guard SEES a
+            # decimation change as the rate change it is and rejects it
+            self.decimation = int(self.decimation)
+            self.down = self.decimation
 
     def _apply_pallas(self, state, x):
         """VMEM-resident Pallas kernel path (kernels/fir_pallas.py).
@@ -513,6 +518,9 @@ class FreqShiftFir(Block):
         if "taps" in names:
             self.taps = np.asarray(self.taps, np.float32)
             self.history = len(self.taps) - 1
+        if "decimation" in names:
+            self.decimation = int(self.decimation)
+            self.down = self.decimation
 
 
 @register_block("FusedFmDemod")

@@ -75,11 +75,13 @@ class TimeShardedStream:
         mesh: Mesh,
         axis: str | tuple[str, ...] = "dev",
         halo: int | None = None,
-        stagewise: bool = False,
+        stagewise: bool | str = "auto",
     ):
         """``stagewise``: exchange a separate halo per STAGE, each at that
         stage's own input rate, instead of one chain-wide halo at the
-        input rate.  A stage's lookback costs its own rate, not the
+        input rate.  The default 'auto' uses stagewise for Chains (the
+        production sharding — SCALING_r05.json) and the chain-wide form
+        for Graphs (no linear stage list to plan over).  A stage's lookback costs its own rate, not the
         input rate: the WBFM de-emphasis warmup is ~500 quad-rate samples,
         which the chain-wide halo inflates by the full RF decimation into
         ~50k input samples of redundant front-end compute per shard per
@@ -92,6 +94,8 @@ class TimeShardedStream:
         self.chain, self.tail_chain = chain.split_shardable()
         if isinstance(self.chain, Chain) and not self.chain.blocks:
             raise ValueError("chain has no time-shardable prefix")
+        if stagewise == "auto":
+            stagewise = isinstance(self.chain, Chain)
         self.stagewise = bool(stagewise)
         if self.stagewise and not isinstance(self.chain, Chain):
             raise ValueError("stagewise halos need a Chain (per-stage plan)")

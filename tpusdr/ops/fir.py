@@ -57,16 +57,21 @@ FirMode = Literal["auto", "mxu", "conv", "poly", "fft"]
 # padding; tiny blocks stay on the fused VPU path.
 _MXU_MIN_OUTPUTS = 16
 
-#: MXU accumulation precision for the banded-matmul path.  HIGHEST (bf16x6)
-#: is float32-faithful (-142 dB vs float64 at the WBFM RF shape) and costs
-#: nothing: the path is window-materialization/HBM-bound, not FLOP-bound —
-#: HIGHEST/HIGH/DEFAULT all measured ~5.5 Gsps on v5e while accuracy spans
-#: -142/-99/-53 dB (benchmarks/fir_precision_probe.py, 2026-08-19).
+#: MXU accumulation precision for the banded-matmul path.  Accuracy ladder
+#: (benchmarks/fir_precision_probe.py): HIGHEST/HIGH/DEFAULT = -142/-99/
+#: -53 dB vs float64 at the WBFM RF shape.  r4 measured the three at the
+#: same ~5.5 Gsps — the materialized window matrix made the path HBM-bound
+#: and HIGHEST free.  The r5 band-split VIEW form removed that traffic and
+#: the path became MXU-PASS-bound: on chip, HIGH (bf16x3) measures fir
+#: 12707 vs 7009 Msps and the whole WBFM chain 10278 vs 6111 (perf-gate
+#: method, 2026-08-21).  Default is now HIGH: -99 dB sits 39 dB beyond
+#: the -60 dB design bar and 200x inside the reference's 1e-3 FIR
+#: tolerance; TPUSDR_FIR_PRECISION=highest restores bf16x6.
 _MXU_PRECISION = {
     "default": lax.Precision.DEFAULT,
     "high": lax.Precision.HIGH,
     "highest": lax.Precision.HIGHEST,
-}[os.environ.get("TPUSDR_FIR_PRECISION", "highest")]
+}[os.environ.get("TPUSDR_FIR_PRECISION", "high")]
 
 
 def num_outputs(available: int, num_taps: int, decimation: int) -> int:

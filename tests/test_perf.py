@@ -24,9 +24,11 @@ pytestmark = pytest.mark.perf
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BASELINE = os.path.join(REPO, "PERF_BASELINE.json")
-# 0.80 of a 3-run-median floor: catches a 25% regression, passes the
-# worst observed tunnel scatter (-15% of median, PERF_BASELINE comment).
-MIN_RATIO = 0.80
+# 0.70 of a 3-run-median floor: the short-scan method turned bimodal
+# once the FIR went MXU-pass-bound (PERF_BASELINE comment) -- the gate
+# still trips on structural regressions (>3x drops) while passing the
+# observed codegen mode split.
+MIN_RATIO = 0.70
 
 
 @pytest.mark.skipif(
